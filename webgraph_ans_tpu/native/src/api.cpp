@@ -1,0 +1,446 @@
+// C API for the webgraph-ans-tpu native runtime (loaded from Python via
+// ctypes; see webgraph_ans_tpu/utils/native.py).
+//
+// All functions catch C++ exceptions and return NULL / -1; the message is
+// retrievable with wgt_last_error().
+
+#include "common.hpp"
+#include "bitstream.hpp"
+#include "bvgraph.hpp"
+
+#include <unordered_map>
+
+#include "ans.hpp"
+#include "ef.hpp"
+
+#include <cmath>
+#include <random>
+
+using namespace wgans;
+
+static thread_local std::string g_last_error;
+
+#define API_BEGIN try {
+#define API_END_PTR                      \
+  }                                      \
+  catch (const std::exception& e) {      \
+    g_last_error = e.what();             \
+    return nullptr;                      \
+  }
+#define API_END_INT                      \
+  }                                      \
+  catch (const std::exception& e) {      \
+    g_last_error = e.what();             \
+    return -1;                           \
+  }
+
+extern "C" {
+
+const char* wgt_last_error() { return g_last_error.c_str(); }
+
+// ---------------------------------------------------------------------------
+// Adjacency result handle (offsets + concatenated successors).
+// ---------------------------------------------------------------------------
+struct AdjResult {
+  std::vector<uint64_t> offsets;
+  std::vector<uint32_t> succs;
+};
+
+uint64_t wgt_adj_num_arcs(void* h) {
+  return static_cast<AdjResult*>(h)->succs.size();
+}
+uint64_t wgt_adj_num_offsets(void* h) {
+  return static_cast<AdjResult*>(h)->offsets.size();
+}
+void wgt_adj_get_offsets(void* h, uint64_t* out) {
+  auto* r = static_cast<AdjResult*>(h);
+  std::memcpy(out, r->offsets.data(), r->offsets.size() * 8);
+}
+void wgt_adj_get_succs(void* h, uint32_t* out) {
+  auto* r = static_cast<AdjResult*>(h);
+  std::memcpy(out, r->succs.data(), r->succs.size() * 4);
+}
+void wgt_adj_free(void* h) { delete static_cast<AdjResult*>(h); }
+
+// ---------------------------------------------------------------------------
+// BVGraph input scan.
+// ---------------------------------------------------------------------------
+void* wgt_bvgraph_scan(const uint8_t* data, uint64_t nbytes, uint64_t n,
+                       uint32_t window, uint32_t min_interval, uint32_t zeta_k,
+                       int32_t outdeg_code, int32_t ref_code,
+                       int32_t block_code, int32_t residual_code) {
+  API_BEGIN
+  auto* r = new AdjResult();
+  bvgraph_scan(data, nbytes, n, window, min_interval, zeta_k, outdeg_code,
+               ref_code, block_code, residual_code, r->offsets, r->succs);
+  return r;
+  API_END_PTR
+}
+
+// ---------------------------------------------------------------------------
+// Estimator / model unpacking helpers.
+// ---------------------------------------------------------------------------
+static Estimator make_estimator(int32_t est_type, const uint64_t* est_costs,
+                                const uint64_t* est_lens,
+                                const uint32_t* est_fidelity,
+                                const uint32_t* est_radix) {
+  Estimator est;
+  est.type = est_type;
+  if (est_type == 1) {
+    est.tables.resize(NUM_COMPONENTS);
+    est.fidelity.resize(NUM_COMPONENTS);
+    est.radix.resize(NUM_COMPONENTS);
+    est.threshold.resize(NUM_COMPONENTS);
+    size_t off = 0;
+    for (int c = 0; c < NUM_COMPONENTS; ++c) {
+      est.tables[c].assign(est_costs + off, est_costs + off + est_lens[c]);
+      off += est_lens[c];
+      est.fidelity[c] = est_fidelity[c];
+      est.radix[c] = est_radix[c];
+      est.threshold[c] = 1ULL << (est_fidelity[c] + est_radix[c] - 1);
+    }
+  }
+  return est;
+}
+
+static EncoderModel make_encoder_model(const uint16_t* freqs,
+                                       const uint64_t* lens,
+                                       const uint32_t* log_m,
+                                       const uint32_t* radix,
+                                       const uint32_t* fidelity) {
+  EncoderModel m;
+  size_t off = 0;
+  for (int c = 0; c < NUM_COMPONENTS; ++c) {
+    CompEncoderModel& cm = m.comp[c];
+    cm.freqs.assign(freqs + off, freqs + off + lens[c]);
+    off += lens[c];
+    cm.log_m = log_m[c];
+    cm.radix = radix[c];
+    cm.fidelity = fidelity[c];
+    cm.finalize();
+  }
+  return m;
+}
+
+// ---------------------------------------------------------------------------
+// BvComp pass 1/2: histograms.
+// ---------------------------------------------------------------------------
+struct HistResult {
+  std::vector<std::vector<uint64_t>> syms, counts;
+};
+
+void* wgt_bvcomp_histogram(uint64_t n, const uint64_t* offsets,
+                           const uint32_t* succs, uint32_t window,
+                           uint32_t max_ref, uint32_t min_interval,
+                           int32_t est_type, const uint64_t* est_costs,
+                           const uint64_t* est_lens,
+                           const uint32_t* est_fidelity,
+                           const uint32_t* est_radix) {
+  API_BEGIN
+  Estimator est =
+      make_estimator(est_type, est_costs, est_lens, est_fidelity, est_radix);
+  HistogramSink sink;
+  BvComp comp(window, max_ref, min_interval, est, sink);
+  std::vector<uint64_t> buf;
+  for (uint64_t x = 0; x < n; ++x) {
+    buf.assign(succs + offsets[x], succs + offsets[x + 1]);
+    comp.push(x, buf.data(), buf.size());
+  }
+  auto* r = new HistResult();
+  r->syms.resize(NUM_COMPONENTS);
+  r->counts.resize(NUM_COMPONENTS);
+  for (int c = 0; c < NUM_COMPONENTS; ++c) {
+    r->syms[c].reserve(sink.hist[c].size());
+    r->counts[c].reserve(sink.hist[c].size());
+    for (auto& kv : sink.hist[c]) {
+      r->syms[c].push_back(kv.first);
+      r->counts[c].push_back(kv.second);
+    }
+  }
+  return r;
+  API_END_PTR
+}
+
+uint64_t wgt_hist_size(void* h, int32_t comp) {
+  return static_cast<HistResult*>(h)->syms[comp].size();
+}
+void wgt_hist_get(void* h, int32_t comp, uint64_t* syms, uint64_t* counts) {
+  auto* r = static_cast<HistResult*>(h);
+  std::memcpy(syms, r->syms[comp].data(), r->syms[comp].size() * 8);
+  std::memcpy(counts, r->counts[comp].data(), r->counts[comp].size() * 8);
+}
+void wgt_hist_free(void* h) { delete static_cast<HistResult*>(h); }
+
+// ---------------------------------------------------------------------------
+// BvComp pass 3: buffer + reverse rANS encode.
+// ---------------------------------------------------------------------------
+struct EncResult {
+  std::vector<uint16_t> stream;
+  std::vector<State> states;     // reverse node order
+  std::vector<uint64_t> pointers;  // reverse node order
+  State final_state = 0;
+  uint64_t num_symbols = 0;
+};
+
+void* wgt_bvcomp_encode(uint64_t n, const uint64_t* offsets,
+                        const uint32_t* succs, uint32_t window,
+                        uint32_t max_ref, uint32_t min_interval,
+                        const uint64_t* est_costs, const uint64_t* est_lens,
+                        const uint32_t* est_fidelity, const uint32_t* est_radix,
+                        const uint16_t* model_freqs, const uint64_t* model_lens,
+                        const uint32_t* model_log_m,
+                        const uint32_t* model_radix,
+                        const uint32_t* model_fidelity) {
+  API_BEGIN
+  Estimator est = make_estimator(1, est_costs, est_lens, est_fidelity, est_radix);
+  EncoderModel model = make_encoder_model(model_freqs, model_lens, model_log_m,
+                                          model_radix, model_fidelity);
+  BufferSink sink;
+  BvComp comp(window, max_ref, min_interval, est, sink);
+  std::vector<uint64_t> buf;
+  for (uint64_t x = 0; x < n; ++x) {
+    buf.assign(succs + offsets[x], succs + offsets[x + 1]);
+    comp.push(x, buf.data(), buf.size());
+  }
+  auto* r = new EncResult();
+  r->num_symbols = sink.values.size();
+  sink.encode(model, r->stream, r->states, r->pointers, r->final_state);
+  return r;
+  API_END_PTR
+}
+
+uint64_t wgt_enc_stream_len(void* h) { return static_cast<EncResult*>(h)->stream.size(); }
+uint64_t wgt_enc_num_phases(void* h) { return static_cast<EncResult*>(h)->states.size(); }
+uint64_t wgt_enc_num_symbols(void* h) { return static_cast<EncResult*>(h)->num_symbols; }
+uint32_t wgt_enc_final_state(void* h) { return static_cast<EncResult*>(h)->final_state; }
+void wgt_enc_get_stream(void* h, uint16_t* out) {
+  auto* r = static_cast<EncResult*>(h);
+  std::memcpy(out, r->stream.data(), r->stream.size() * 2);
+}
+void wgt_enc_get_states(void* h, uint32_t* out) {
+  auto* r = static_cast<EncResult*>(h);
+  std::memcpy(out, r->states.data(), r->states.size() * 4);
+}
+void wgt_enc_get_pointers(void* h, uint64_t* out) {
+  auto* r = static_cast<EncResult*>(h);
+  std::memcpy(out, r->pointers.data(), r->pointers.size() * 8);
+}
+void wgt_enc_free(void* h) { delete static_cast<EncResult*>(h); }
+
+// ---------------------------------------------------------------------------
+// ANS sequential decode: full successor reconstruction.
+// ---------------------------------------------------------------------------
+void* wgt_ans_decode_seq(const uint16_t* stream, uint64_t stream_len,
+                         uint32_t final_state, uint64_t n, uint32_t window,
+                         uint32_t min_interval, const uint16_t* model_freqs,
+                         const uint64_t* model_lens, const uint32_t* model_log_m,
+                         const uint32_t* model_radix,
+                         const uint32_t* model_fidelity) {
+  API_BEGIN
+  EncoderModel em = make_encoder_model(model_freqs, model_lens, model_log_m,
+                                       model_radix, model_fidelity);
+  DecoderModel dm = DecoderModel::from_encoder(em);
+  ANSDecoder dec(dm, stream, stream_len, final_state);
+  auto* r = new AdjResult();
+  r->offsets.assign(1, 0);
+  r->offsets.reserve(n + 1);
+  size_t ring = window + 1;
+  std::vector<std::vector<uint64_t>> win(ring);
+  std::vector<uint64_t> curr;
+  for (uint64_t x = 0; x < n; ++x) {
+    read_successors(
+        dec, x, window, min_interval,
+        [&](uint64_t node) -> const std::vector<uint64_t>& {
+          return win[node % ring];
+        },
+        curr);
+    for (uint64_t s : curr) r->succs.push_back(static_cast<uint32_t>(s));
+    r->offsets.push_back(r->succs.size());
+    win[x % ring] = curr;
+  }
+  return r;
+  API_END_PTR
+}
+
+// ---------------------------------------------------------------------------
+// ANS random-access decode.
+// ---------------------------------------------------------------------------
+namespace {
+
+struct RandomCtx {
+  const uint16_t* stream;
+  const uint32_t* states;    // node order
+  const uint64_t* pointers;  // node order
+  const DecoderModel* model;
+  uint32_t window;
+  uint32_t min_interval;
+
+  // Recursively decodes node x (following reference chains) into `out`.
+  void decode_node(uint64_t x, std::vector<uint64_t>& out) const {
+    ANSDecoder dec(*model, stream, pointers[x], states[x]);
+    std::vector<uint64_t> ref_buf;
+    read_successors(
+        dec, x, window, min_interval,
+        [&](uint64_t node) -> const std::vector<uint64_t>& {
+          decode_node(node, ref_buf);
+          return ref_buf;
+        },
+        out);
+  }
+};
+
+}  // namespace
+
+void* wgt_ans_decode_random(const uint16_t* stream, uint64_t stream_len,
+                            const uint32_t* states, const uint64_t* pointers,
+                            uint64_t n, uint32_t window, uint32_t min_interval,
+                            const uint16_t* model_freqs,
+                            const uint64_t* model_lens,
+                            const uint32_t* model_log_m,
+                            const uint32_t* model_radix,
+                            const uint32_t* model_fidelity,
+                            const uint64_t* node_ids, uint64_t num_queries) {
+  API_BEGIN
+  (void)stream_len;
+  (void)n;
+  EncoderModel em = make_encoder_model(model_freqs, model_lens, model_log_m,
+                                       model_radix, model_fidelity);
+  DecoderModel dm = DecoderModel::from_encoder(em);
+  RandomCtx ctx{stream, states, pointers, &dm, window, min_interval};
+  auto* r = new AdjResult();
+  r->offsets.assign(1, 0);
+  std::vector<uint64_t> out;
+  for (uint64_t q = 0; q < num_queries; ++q) {
+    ctx.decode_node(node_ids[q], out);
+    for (uint64_t s : out) r->succs.push_back(static_cast<uint32_t>(s));
+    r->offsets.push_back(r->succs.size());
+  }
+  return r;
+  API_END_PTR
+}
+
+// In-native random-access benchmark: enumerates the successors of
+// `num_queries` uniformly random nodes (like the reference's
+// examples/bench_random_access.rs:24-43) and returns the number of arcs
+// touched. Timing is done by the caller.
+int64_t wgt_ans_bench_random(const uint16_t* stream, const uint32_t* states,
+                             const uint64_t* pointers, uint64_t n,
+                             uint32_t window, uint32_t min_interval,
+                             const uint16_t* model_freqs,
+                             const uint64_t* model_lens,
+                             const uint32_t* model_log_m,
+                             const uint32_t* model_radix,
+                             const uint32_t* model_fidelity,
+                             uint64_t num_queries, uint64_t seed) {
+  API_BEGIN
+  EncoderModel em = make_encoder_model(model_freqs, model_lens, model_log_m,
+                                       model_radix, model_fidelity);
+  DecoderModel dm = DecoderModel::from_encoder(em);
+  RandomCtx ctx{stream, states, pointers, &dm, window, min_interval};
+  std::mt19937_64 rng(seed);
+  std::vector<uint64_t> out;
+  uint64_t arcs = 0;
+  for (uint64_t q = 0; q < num_queries; ++q) {
+    uint64_t x = rng() % n;
+    ctx.decode_node(x, out);
+    arcs += out.size();
+  }
+  return static_cast<int64_t>(arcs);
+  API_END_INT
+}
+
+// ---------------------------------------------------------------------------
+// Model-builder inner loop: exact frequency rescaling
+// (reference: src/utils/data_utils.rs:15-39).
+// ---------------------------------------------------------------------------
+int32_t wgt_scale_freqs(const uint64_t* freqs, const uint64_t* sorted_idx,
+                        uint64_t n_sorted, uint64_t total_freq, int64_t new_m,
+                        uint64_t* out_approx) {
+  // out_approx must be pre-filled with a copy of freqs.
+  double ratio = static_cast<double>(new_m) / static_cast<double>(total_freq);
+  uint64_t m = total_freq;
+  double nd = static_cast<double>(n_sorted);
+  for (uint64_t index = 0; index < n_sorted; ++index) {
+    uint64_t sym = sorted_idx[index];
+    uint64_t f = freqs[sym];
+    double second_ratio = static_cast<double>(new_m) / static_cast<double>(m);
+    double scale = static_cast<double>(n_sorted - index) * ratio / nd +
+                   static_cast<double>(index) * second_ratio / nd;
+    double approx_f = std::floor(0.5 + scale * static_cast<double>(f));
+    uint64_t approx = approx_f < 1.0 ? 1 : static_cast<uint64_t>(approx_f);
+    out_approx[sym] = approx;
+    new_m -= static_cast<int64_t>(approx);
+    m -= f;
+    if (new_m < 0) return -1;
+  }
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Elias-Fano.
+// ---------------------------------------------------------------------------
+int64_t wgt_ef_build_size(const uint64_t* vals, uint64_t n, uint64_t u) {
+  API_BEGIN
+  EliasFano ef = EliasFano::build(vals, n, u);
+  return static_cast<int64_t>(ef.serialized_size());
+  API_END_INT
+}
+
+int32_t wgt_ef_build(const uint64_t* vals, uint64_t n, uint64_t u,
+                     uint8_t* out) {
+  API_BEGIN
+  EliasFano ef = EliasFano::build(vals, n, u);
+  ef.serialize(out);
+  return 0;
+  API_END_INT
+}
+
+void* wgt_ef_load(const uint8_t* data, uint64_t nbytes) {
+  API_BEGIN
+  return new EliasFano(EliasFano::load(data, nbytes));
+  API_END_PTR
+}
+
+uint64_t wgt_ef_get(void* h, uint64_t i) {
+  return static_cast<EliasFano*>(h)->get(i);
+}
+void wgt_ef_get_many(void* h, const uint64_t* idx, uint64_t k, uint64_t* out) {
+  auto* ef = static_cast<EliasFano*>(h);
+  for (uint64_t i = 0; i < k; ++i) out[i] = ef->get(idx[i]);
+}
+void wgt_ef_free(void* h) { delete static_cast<EliasFano*>(h); }
+
+// ---------------------------------------------------------------------------
+// Bit-code helpers exposed for tests (gamma/delta/zeta round-trips).
+// ---------------------------------------------------------------------------
+int64_t wgt_write_codes(const uint64_t* values, const int32_t* codes,
+                        uint64_t count, uint32_t zeta_k, uint8_t* out,
+                        uint64_t out_capacity) {
+  API_BEGIN
+  BitWriter bw;
+  for (uint64_t i = 0; i < count; ++i) {
+    switch (codes[i]) {
+      case CODE_UNARY: bw.write_unary(values[i]); break;
+      case CODE_GAMMA: bw.write_gamma(values[i]); break;
+      case CODE_DELTA: bw.write_delta(values[i]); break;
+      case CODE_ZETA: bw.write_zeta(values[i], zeta_k); break;
+      default: throw std::runtime_error("bad code");
+    }
+  }
+  if (bw.bytes().size() > out_capacity) throw std::runtime_error("overflow");
+  std::memcpy(out, bw.bytes().data(), bw.bytes().size());
+  return static_cast<int64_t>(bw.bytes().size());
+  API_END_INT
+}
+
+int32_t wgt_read_codes(const uint8_t* data, uint64_t nbytes,
+                       const int32_t* codes, uint64_t count, uint32_t zeta_k,
+                       uint64_t* out) {
+  API_BEGIN
+  BitReader br(data, nbytes);
+  for (uint64_t i = 0; i < count; ++i) out[i] = read_code(br, codes[i], zeta_k);
+  return 0;
+  API_END_INT
+}
+
+}  // extern "C"
