@@ -1,0 +1,175 @@
+"""The 3-pass ANS compression pipeline (reference: src/bvgraph/random_access.rs:91-222).
+
+Pass 1: BvComp with the Log2 estimator -> raw-symbol histograms -> bootstrap model.
+Pass 2: BvComp with the entropy estimator built from the pass-1 model -> refined
+        histograms -> final model.
+Pass 3: BvComp with the SAME pass-1 entropy estimator (so passes 2 and 3 make
+        identical reference-selection decisions) + reverse rANS encoding with
+        the pass-2 model, capturing one (state, stream pointer) phase per node.
+
+The BvComp walks and the rANS encode run in the native runtime; model building
+runs in Python/JAX between the passes.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import dataclasses
+import logging
+import time
+
+import numpy as np
+
+from ..ans.model import ANSModel, build_model, model_report
+from ..ans.prelude import Prelude, save_pointers, save_states
+from ..utils import native
+from . import estimators
+from .graph import Adjacency, load_bvgraph
+
+log = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass
+class CompressionResult:
+    prelude: Prelude
+    states: np.ndarray    # u32, reverse node order
+    pointers: np.ndarray  # u64, reverse node order (monotone nondecreasing)
+    report: list[dict]
+
+
+def _run_histogram_pass(adj: Adjacency, window: int, max_ref: int, min_interval: int,
+                        est_type: int, tables: estimators.EntropyTables):
+    lib = native.get_lib()
+    h = native.check_ptr(
+        lib.wgt_bvcomp_histogram(
+            adj.num_nodes,
+            native.as_ptr(adj.offsets, ctypes.c_uint64),
+            native.as_ptr(adj.succs, ctypes.c_uint32),
+            window, max_ref, min_interval,
+            est_type,
+            native.as_ptr(tables.costs, ctypes.c_uint64),
+            native.as_ptr(tables.lens, ctypes.c_uint64),
+            native.as_ptr(tables.fidelity, ctypes.c_uint32),
+            native.as_ptr(tables.radix, ctypes.c_uint32),
+        )
+    )
+    try:
+        hists = []
+        for comp in range(9):
+            k = int(lib.wgt_hist_size(h, comp))
+            syms = np.empty(k, dtype=np.uint64)
+            counts = np.empty(k, dtype=np.uint64)
+            if k:
+                lib.wgt_hist_get(
+                    h, comp,
+                    native.as_ptr(syms, ctypes.c_uint64),
+                    native.as_ptr(counts, ctypes.c_uint64),
+                )
+            hists.append((syms, counts))
+        return hists
+    finally:
+        lib.wgt_hist_free(h)
+
+
+def _run_encode_pass(adj: Adjacency, window: int, max_ref: int, min_interval: int,
+                     tables: estimators.EntropyTables, model: ANSModel):
+    lib = native.get_lib()
+    freqs, lens, log_m, radix, fidelity = model.packed()
+    h = native.check_ptr(
+        lib.wgt_bvcomp_encode(
+            adj.num_nodes,
+            native.as_ptr(adj.offsets, ctypes.c_uint64),
+            native.as_ptr(adj.succs, ctypes.c_uint32),
+            window, max_ref, min_interval,
+            native.as_ptr(tables.costs, ctypes.c_uint64),
+            native.as_ptr(tables.lens, ctypes.c_uint64),
+            native.as_ptr(tables.fidelity, ctypes.c_uint32),
+            native.as_ptr(tables.radix, ctypes.c_uint32),
+            native.as_ptr(freqs, ctypes.c_uint16),
+            native.as_ptr(lens, ctypes.c_uint64),
+            native.as_ptr(log_m, ctypes.c_uint32),
+            native.as_ptr(radix, ctypes.c_uint32),
+            native.as_ptr(fidelity, ctypes.c_uint32),
+        )
+    )
+    try:
+        stream_len = int(lib.wgt_enc_stream_len(h))
+        num_phases = int(lib.wgt_enc_num_phases(h))
+        final_state = int(lib.wgt_enc_final_state(h))
+        stream = np.empty(stream_len, dtype=np.uint16)
+        states = np.empty(num_phases, dtype=np.uint32)
+        pointers = np.empty(num_phases, dtype=np.uint64)
+        if stream_len:
+            lib.wgt_enc_get_stream(h, native.as_ptr(stream, ctypes.c_uint16))
+        if num_phases:
+            lib.wgt_enc_get_states(h, native.as_ptr(states, ctypes.c_uint32))
+            lib.wgt_enc_get_pointers(h, native.as_ptr(pointers, ctypes.c_uint64))
+        return stream, states, pointers, final_state
+    finally:
+        lib.wgt_enc_free(h)
+
+
+def compress_adjacency(adj: Adjacency, compression_window: int = 7,
+                       max_ref_count: int = 3, min_interval_length: int = 2,
+                       use_tpu_model_search: bool = False) -> CompressionResult:
+    t0 = time.time()
+    # Pass 1: bootstrap model with the log2 estimator.
+    hist1 = _run_histogram_pass(
+        adj, compression_window, max_ref_count, min_interval_length,
+        estimators.LOG2, estimators.empty_tables(),
+    )
+    if use_tpu_model_search:
+        from ..ops.model_jax import build_model_jax
+        model1 = build_model_jax(hist1)
+    else:
+        model1 = build_model(hist1)
+    log.info("pass 1 (log2 histograms + model) in %.2fs", time.time() - t0)
+
+    # Pass 2: refined model under the pass-1 entropy estimator.
+    t1 = time.time()
+    tables1 = estimators.entropy_tables(model1)
+    hist2 = _run_histogram_pass(
+        adj, compression_window, max_ref_count, min_interval_length,
+        estimators.ENTROPY, tables1,
+    )
+    if use_tpu_model_search:
+        from ..ops.model_jax import build_model_jax
+        model2 = build_model_jax(hist2)
+    else:
+        model2 = build_model(hist2)
+    log.info("pass 2 (entropy histograms + model) in %.2fs", time.time() - t1)
+
+    # Pass 3: encode with the pass-2 model; selection still driven by the
+    # pass-1 estimator, exactly like the reference (random_access.rs:166-196).
+    t2 = time.time()
+    stream, states, pointers, final_state = _run_encode_pass(
+        adj, compression_window, max_ref_count, min_interval_length, tables1, model2
+    )
+    log.info("pass 3 (encode) in %.2fs", time.time() - t2)
+
+    prelude = Prelude(
+        model=model2,
+        stream=stream,
+        state=final_state,
+        num_nodes=adj.num_nodes,
+        num_arcs=adj.num_arcs,
+        compression_window=compression_window,
+        min_interval_length=min_interval_length,
+    )
+    return CompressionResult(prelude, states, pointers, model_report(model2, hist2))
+
+
+def store(basename: str, new_basename: str, compression_window: int = 7,
+          max_ref_count: int = 3, min_interval_length: int = 2,
+          use_tpu_model_search: bool = False) -> CompressionResult:
+    """Recompresses the BVGraph at `basename` into `new_basename.{ans,pointers,states}`
+    (reference: ANSBvGraph::store, random_access.rs:91-222)."""
+    adj, _props = load_bvgraph(basename)
+    result = compress_adjacency(
+        adj, compression_window, max_ref_count, min_interval_length,
+        use_tpu_model_search=use_tpu_model_search,
+    )
+    result.prelude.save(new_basename)
+    save_states(new_basename, result.states)
+    save_pointers(new_basename, result.pointers)
+    return result
