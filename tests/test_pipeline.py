@@ -1,0 +1,129 @@
+"""Tier-3: end-to-end graph pipeline tests — the in-memory dummy graph
+(reference: tests/test_bvgraph.rs:24-101) and cnr-2000 bit-exact equivalence
+(reference: tests/test_bvgraph.rs:106-154)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from webgraph_ans_tpu.ans.prelude import Prelude, load_pointers, load_states
+from webgraph_ans_tpu.bvgraph.graph import Adjacency
+from webgraph_ans_tpu.bvgraph.random_access import ANSBvGraph
+from webgraph_ans_tpu.bvgraph.sequential import ANSBvGraphSeq
+from webgraph_ans_tpu.bvgraph.store import compress_adjacency, store
+
+from conftest import CNR
+
+
+def test_dummy_graph_roundtrip(dummy_graph):
+    res = compress_adjacency(dummy_graph, 7, 3, 2)
+    dec = ANSBvGraphSeq(res.prelude).decode_all()
+    assert dec.to_lists() == dummy_graph.to_lists()
+    # random access over the in-memory phases
+    g = ANSBvGraph(res.prelude, res.states, res.pointers)
+    assert list(g.successors(0)) == [2, 3]
+    assert list(g.successors(1)) == [5]
+    assert list(g.successors(2)) == []
+    assert list(g.successors(4)) == [0]
+
+
+def test_dummy_graph_prelude_serialization(dummy_graph, tmp_path):
+    res = compress_adjacency(dummy_graph, 7, 3, 2)
+    base = str(tmp_path / "dummy")
+    res.prelude.save(base)
+    loaded = Prelude.load(base)
+    assert loaded.num_nodes == res.prelude.num_nodes
+    assert loaded.state == res.prelude.state
+    np.testing.assert_array_equal(loaded.stream, res.prelude.stream)
+    for a, b in zip(loaded.model.components, res.prelude.model.components):
+        np.testing.assert_array_equal(a.freqs, b.freqs)
+        assert (a.log_m, a.radix, a.fidelity) == (b.log_m, b.radix, b.fidelity)
+    dec = ANSBvGraphSeq(loaded).decode_all()
+    assert dec.to_lists() == dummy_graph.to_lists()
+
+
+def test_star_and_cliques():
+    """Structured graphs exercising copy blocks, intervals and references."""
+    n = 64
+    lists = []
+    for i in range(n):
+        if i % 4 == 0:
+            lists.append(list(range(0, 32)))          # intervals
+        elif i % 4 == 1:
+            lists.append(list(range(0, 32)))          # identical -> full copy
+        elif i % 4 == 2:
+            lists.append([j for j in range(0, 32) if j % 3 != 0])  # partial copy
+        else:
+            lists.append([1, 5, 50, 63])              # residuals
+    adj = Adjacency.from_lists(lists)
+    res = compress_adjacency(adj, 7, 3, 4)
+    dec = ANSBvGraphSeq(res.prelude).decode_all()
+    assert dec.to_lists() == lists
+    g = ANSBvGraph(res.prelude, res.states, res.pointers)
+    batch = g.successors_batch(np.arange(n, dtype=np.uint64))
+    assert batch.to_lists() == lists
+
+
+def test_empty_and_singleton_graphs():
+    for lists in ([[]], [[0]], [[], [], []], [[1], [], [0, 2]]):
+        adj = Adjacency.from_lists(lists)
+        res = compress_adjacency(adj, 7, 3, 2)
+        dec = ANSBvGraphSeq(res.prelude).decode_all()
+        assert dec.to_lists() == lists
+
+
+def test_window_zero():
+    lists = [[1, 2], [0, 2], [0, 1], [3]]
+    adj = Adjacency.from_lists(lists)
+    res = compress_adjacency(adj, compression_window=0, max_ref_count=0,
+                             min_interval_length=2)
+    dec = ANSBvGraphSeq(res.prelude).decode_all()
+    assert dec.to_lists() == lists
+
+
+@pytest.fixture(scope="module")
+def cnr_compressed(tmp_path_factory, cnr2000):
+    base = str(tmp_path_factory.mktemp("cnr") / "results")
+    res = store(CNR, base, 7, 3, 2)
+    return base, res
+
+
+def test_cnr2000_sequential_bit_exact(cnr2000, cnr_compressed):
+    # reference: test_bvgraph.rs:134-154
+    adj, _ = cnr2000
+    base, _res = cnr_compressed
+    seq = ANSBvGraphSeq.load(base)
+    assert seq.num_nodes == adj.num_nodes and seq.num_arcs == adj.num_arcs
+    dec = seq.decode_all()
+    np.testing.assert_array_equal(dec.offsets, adj.offsets)
+    np.testing.assert_array_equal(dec.succs, adj.succs)
+
+
+def test_cnr2000_random_access_bit_exact(cnr2000, cnr_compressed):
+    # reference: test_bvgraph.rs:106-129 — every node via random access
+    adj, _ = cnr2000
+    base, _res = cnr_compressed
+    g = ANSBvGraph.load(base)
+    dec = g.successors_batch(np.arange(g.num_nodes, dtype=np.uint64))
+    np.testing.assert_array_equal(dec.offsets, adj.offsets)
+    np.testing.assert_array_equal(dec.succs, adj.succs)
+
+
+def test_cnr2000_compression_beats_bvgraph(cnr2000, cnr_compressed):
+    """North-star size check: .ans bits/link must beat BVGraph's 2.897
+    (tests/data/cnr-2000/cnr-2000.properties:16) by a reference-like margin."""
+    adj, _ = cnr2000
+    base, _res = cnr_compressed
+    ans_bits = os.path.getsize(base + ".ans") * 8
+    bits_per_link = ans_bits / adj.num_arcs
+    assert bits_per_link < 2.897 * 0.95, f"bits/link {bits_per_link:.3f}"
+
+
+def test_cnr2000_phase_files_roundtrip(cnr_compressed):
+    base, res = cnr_compressed
+    states = load_states(base)
+    pointers = load_pointers(base)
+    np.testing.assert_array_equal(states, res.states)
+    np.testing.assert_array_equal(pointers, res.pointers)
+    assert (np.diff(pointers.astype(np.int64)) >= 0).all()

@@ -198,7 +198,16 @@ def build_model(histograms: list[Histogram]) -> ANSModel:
                     continue
                 new_cost = _approx_cost(folded, approx, m, fidelity, radix)
                 difference = new_cost - original_costs[comp]
-                ratio = (original_graph_cost + difference) / original_graph_cost
+                if original_graph_cost != 0.0:
+                    ratio = (original_graph_cost + difference) / original_graph_cost
+                else:
+                    # Deliberate divergence: a zero-entropy graph puts the
+                    # reference on a 0/0=NaN path whose max-frame fallback
+                    # wraps freq 2^16 to 0 (u16 cast, builder.rs:224-231) and
+                    # ends in an unchecked division by zero (encoder.rs:67-73,
+                    # UB). Accept any zero-extra-cost distribution at the
+                    # smallest frame instead.
+                    ratio = 1.0 if difference <= 0.0 else math.inf
                 if ratio <= THETA:
                     if best_frame is None or m < best_frame:
                         lowest_cost = new_cost

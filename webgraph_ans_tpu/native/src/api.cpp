@@ -350,6 +350,53 @@ int64_t wgt_ans_bench_random(const uint16_t* stream, const uint32_t* states,
 }
 
 // ---------------------------------------------------------------------------
+// Raw symbol-level codec (for codec round-trip tests mirroring the
+// reference's tests/compressor_tests.rs: encode a (value, component)
+// sequence, decode it back in LIFO order).
+// ---------------------------------------------------------------------------
+void* wgt_ans_encode_raw(const uint64_t* values, const uint8_t* components,
+                         uint64_t count, const uint16_t* model_freqs,
+                         const uint64_t* model_lens, const uint32_t* model_log_m,
+                         const uint32_t* model_radix,
+                         const uint32_t* model_fidelity) {
+  API_BEGIN
+  EncoderModel model = make_encoder_model(model_freqs, model_lens, model_log_m,
+                                          model_radix, model_fidelity);
+  ANSEncoder enc(model);
+  auto* r = new EncResult();
+  for (uint64_t i = 0; i < count; ++i) {
+    enc.encode(values[i], components[i]);
+    if (components[i] == OUTDEGREE) {
+      r->states.push_back(enc.state());
+      r->pointers.push_back(enc.stream_len());
+    }
+  }
+  r->num_symbols = count;
+  r->final_state = enc.state();
+  r->stream = std::move(enc.stream());
+  return r;
+  API_END_PTR
+}
+
+int32_t wgt_ans_decode_raw(const uint16_t* stream, uint64_t stream_len,
+                           uint32_t state, const uint8_t* components,
+                           uint64_t count, const uint16_t* model_freqs,
+                           const uint64_t* model_lens,
+                           const uint32_t* model_log_m,
+                           const uint32_t* model_radix,
+                           const uint32_t* model_fidelity,
+                           uint64_t* out_values) {
+  API_BEGIN
+  EncoderModel em = make_encoder_model(model_freqs, model_lens, model_log_m,
+                                       model_radix, model_fidelity);
+  DecoderModel dm = DecoderModel::from_encoder(em);
+  ANSDecoder dec(dm, stream, stream_len, state);
+  for (uint64_t i = 0; i < count; ++i) out_values[i] = dec.decode(components[i]);
+  return 0;
+  API_END_INT
+}
+
+// ---------------------------------------------------------------------------
 // Model-builder inner loop: exact frequency rescaling
 // (reference: src/utils/data_utils.rs:15-39).
 // ---------------------------------------------------------------------------
