@@ -2,10 +2,18 @@ import os
 
 # JAX tests run on a virtual 8-device CPU mesh so multi-chip sharding is
 # exercised without TPU pod hardware. Must be set before jax imports.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+# Force an 8-virtual-device CPU mesh even if the environment points at real
+# TPU hardware (e.g. JAX_PLATFORMS=axon, where a sitecustomize imports jax at
+# interpreter startup, so env vars are too late — use jax.config instead):
+# tests must be deterministic and exercise the multi-device code paths;
+# bench.py is what runs on the real chip.
+if os.environ.get("WGT_TEST_PLATFORM", "cpu") == "cpu":
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

@@ -1,0 +1,48 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh
+(conftest sets --xla_force_host_platform_device_count=8)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from webgraph_ans_tpu.bvgraph.graph import Adjacency
+from webgraph_ans_tpu.bvgraph.random_access import ANSBvGraph
+from webgraph_ans_tpu.bvgraph.store import compress_adjacency, dump_tokens
+from webgraph_ans_tpu.ops.reconstruct_jax import reconstruct
+from webgraph_ans_tpu.parallel.sharded import (
+    ShardedGraphDecoder, make_mesh, sharded_histogram)
+
+
+def test_virtual_mesh_present():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_histogram():
+    mesh = make_mesh()
+    rng = np.random.default_rng(5)
+    sym = rng.integers(0, 50, size=8 * 1000).astype(np.int32)
+    comp = rng.integers(0, 9, size=8 * 1000).astype(np.int32)
+    hist = np.asarray(sharded_histogram(mesh, jnp.asarray(sym), jnp.asarray(comp), 64))
+    want = np.zeros((9, 64), np.int64)
+    np.add.at(want, (comp, sym), 1)
+    np.testing.assert_array_equal(hist, want)
+
+
+def test_sharded_decode_matches_serial():
+    rng = np.random.default_rng(31)
+    lists = []
+    for i in range(400):
+        dcur = int(rng.integers(0, 14))
+        lists.append(sorted(rng.choice(400, size=dcur, replace=False).tolist()))
+    adj = Adjacency.from_lists(lists)
+    res = compress_adjacency(adj, 7, 3, 2)
+    want_v, want_c = dump_tokens(adj, 7, 3, 2, res.est_tables)
+
+    g = ANSBvGraph(res.prelude, res.states, res.pointers)
+    dec = ShardedGraphDecoder(g, make_mesh())
+    got_v, got_c = dec.decode_tokens(lanes_per_device=4)
+    np.testing.assert_array_equal(got_c.astype(np.uint8), want_c)
+    np.testing.assert_array_equal(got_v.astype(np.uint64), want_v)
+
+    offsets, succs = reconstruct(got_v, got_c, adj.num_nodes, 2)
+    assert Adjacency(offsets, succs).to_lists() == lists

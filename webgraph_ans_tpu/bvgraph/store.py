@@ -35,6 +35,9 @@ class CompressionResult:
     states: np.ndarray    # u32, reverse node order
     pointers: np.ndarray  # u64, reverse node order (monotone nondecreasing)
     report: list[dict]
+    # pass-1 entropy-estimator tables (the estimator that drove the pass-2/3
+    # reference decisions); kept so tests can reproduce BvComp's token stream
+    est_tables: "estimators.EntropyTables | None" = None
 
 
 def _run_histogram_pass(adj: Adjacency, window: int, max_ref: int, min_interval: int,
@@ -109,6 +112,35 @@ def _run_encode_pass(adj: Adjacency, window: int, max_ref: int, min_interval: in
         lib.wgt_enc_free(h)
 
 
+def dump_tokens(adj: Adjacency, window: int, max_ref: int, min_interval: int,
+                tables: estimators.EntropyTables):
+    """Forward-order (value, component) token stream BvComp chooses under the
+    given entropy estimator — ground truth for the TPU token decoder."""
+    lib = native.get_lib()
+    h = native.check_ptr(
+        lib.wgt_bvcomp_tokens(
+            adj.num_nodes,
+            native.as_ptr(adj.offsets, ctypes.c_uint64),
+            native.as_ptr(adj.succs, ctypes.c_uint32),
+            window, max_ref, min_interval,
+            native.as_ptr(tables.costs, ctypes.c_uint64),
+            native.as_ptr(tables.lens, ctypes.c_uint64),
+            native.as_ptr(tables.fidelity, ctypes.c_uint32),
+            native.as_ptr(tables.radix, ctypes.c_uint32),
+        )
+    )
+    try:
+        k = int(lib.wgt_tok_count(h))
+        values = np.empty(k, dtype=np.uint64)
+        comps = np.empty(k, dtype=np.uint8)
+        if k:
+            lib.wgt_tok_get(h, native.as_ptr(values, ctypes.c_uint64),
+                            native.as_ptr(comps, ctypes.c_uint8))
+        return values, comps
+    finally:
+        lib.wgt_tok_free(h)
+
+
 def compress_adjacency(adj: Adjacency, compression_window: int = 7,
                        max_ref_count: int = 3, min_interval_length: int = 2,
                        use_tpu_model_search: bool = False) -> CompressionResult:
@@ -156,7 +188,7 @@ def compress_adjacency(adj: Adjacency, compression_window: int = 7,
         compression_window=compression_window,
         min_interval_length=min_interval_length,
     )
-    return CompressionResult(prelude, states, pointers, model_report(model2, hist2))
+    return CompressionResult(prelude, states, pointers, model_report(model2, hist2), tables1)
 
 
 def store(basename: str, new_basename: str, compression_window: int = 7,

@@ -209,6 +209,44 @@ void* wgt_bvcomp_encode(uint64_t n, const uint64_t* offsets,
   API_END_PTR
 }
 
+// Dump the forward-order (value, component) token stream BvComp chooses
+// (the exact sequence pass 3 buffers before reverse-encoding). Ground truth
+// for the TPU token decoder tests.
+struct TokResult {
+  std::vector<uint64_t> values;
+  std::vector<uint8_t> components;
+};
+
+void* wgt_bvcomp_tokens(uint64_t n, const uint64_t* offsets,
+                        const uint32_t* succs, uint32_t window,
+                        uint32_t max_ref, uint32_t min_interval,
+                        const uint64_t* est_costs, const uint64_t* est_lens,
+                        const uint32_t* est_fidelity,
+                        const uint32_t* est_radix) {
+  API_BEGIN
+  Estimator est = make_estimator(1, est_costs, est_lens, est_fidelity, est_radix);
+  BufferSink sink;
+  BvComp comp(window, max_ref, min_interval, est, sink);
+  std::vector<uint64_t> buf;
+  for (uint64_t x = 0; x < n; ++x) {
+    buf.assign(succs + offsets[x], succs + offsets[x + 1]);
+    comp.push(x, buf.data(), buf.size());
+  }
+  auto* r = new TokResult();
+  r->values = std::move(sink.values);
+  r->components = std::move(sink.components);
+  return r;
+  API_END_PTR
+}
+
+uint64_t wgt_tok_count(void* h) { return static_cast<TokResult*>(h)->values.size(); }
+void wgt_tok_get(void* h, uint64_t* values, uint8_t* components) {
+  auto* r = static_cast<TokResult*>(h);
+  std::memcpy(values, r->values.data(), r->values.size() * 8);
+  std::memcpy(components, r->components.data(), r->components.size());
+}
+void wgt_tok_free(void* h) { delete static_cast<TokResult*>(h); }
+
 uint64_t wgt_enc_stream_len(void* h) { return static_cast<EncResult*>(h)->stream.size(); }
 uint64_t wgt_enc_num_phases(void* h) { return static_cast<EncResult*>(h)->states.size(); }
 uint64_t wgt_enc_num_symbols(void* h) { return static_cast<EncResult*>(h)->num_symbols; }

@@ -1,0 +1,91 @@
+"""Host orchestration of the TPU block decoder: partition a graph's nodes
+into contiguous blocks (one per lane), enter the stream at each block's
+phase, seed the outdegree rings, and run the lane-parallel grammar decoder.
+
+This is the TPU-native replacement for the serial sequential scan
+(reference: src/bvgraph/sequential.rs + src/ans/decoder.rs): same stream,
+same phases, decoded by hundreds of lanes at once.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..bvgraph.random_access import ANSBvGraph
+from .decode_jax import build_decoder_tables, decode_blocks, seed_rings
+
+
+class TpuGraphDecoder:
+    """Holds device-resident tables + stream + phases for a loaded graph."""
+
+    def __init__(self, graph: ANSBvGraph):
+        p = graph.prelude
+        if p.num_nodes >= 1 << 31:
+            raise ValueError("TPU decode path supports graphs with < 2^31 nodes")
+        self.graph = graph
+        self.window = p.compression_window
+        self.min_interval = p.min_interval_length
+        self.num_nodes = p.num_nodes
+        self.num_arcs = p.num_arcs
+        self.tables = build_decoder_tables(p.model)
+        # Pad so the refill gather is in-bounds even for an empty stream
+        # (tiny graphs encode entirely in the final state).
+        stream = np.ascontiguousarray(p.stream, dtype=np.uint32)
+        if len(stream) == 0:
+            stream = np.zeros(1, dtype=np.uint32)
+        self.stream = jnp.asarray(stream)
+        # graph.states/pointers are already in node order.
+        self.states = jnp.asarray(graph.states)
+        self.pointers = jnp.asarray(graph.pointers.astype(np.int64).astype(np.int32))
+
+    def _block_bounds(self, num_lanes: int):
+        n = self.num_nodes
+        starts = (np.arange(num_lanes, dtype=np.int64) * n) // num_lanes
+        ends = (np.arange(1, num_lanes + 1, dtype=np.int64) * n) // num_lanes
+        return starts.astype(np.int32), ends.astype(np.int32)
+
+    def decode_tokens(self, num_lanes: int = 256, cap: int | None = None):
+        """Decodes every (component, value) token of the graph, lane-parallel
+        over `num_lanes` contiguous node blocks. Returns (values u32,
+        comps i8) concatenated in forward node order."""
+        starts, ends = self._block_bounds(num_lanes)
+        W = self.window
+        host_states = np.asarray(self.states)
+        host_ptrs = np.asarray(self.pointers)
+
+        # Phases of the `window` nodes preceding each block (clamped to 0;
+        # invalid entries are masked inside seed_rings).
+        if W > 0:
+            pre = starts[:, None] - W + np.arange(W)[None, :]
+            pre_cl = np.clip(pre, 0, self.num_nodes - 1)
+            seed_states = jnp.asarray(host_states[pre_cl])
+            seed_ptrs = jnp.asarray(host_ptrs[pre_cl])
+            ring = seed_rings(
+                self.tables, self.stream, seed_states, seed_ptrs,
+                jnp.asarray(starts), W)
+        else:
+            ring = jnp.zeros((num_lanes, 1), jnp.int32)
+
+        lane_states = jnp.asarray(host_states[starts])
+        lane_ptrs = jnp.asarray(host_ptrs[starts])
+
+        if cap is None:
+            # ~2.05 tokens per arc + 3 per node is a generous upper estimate
+            # for BvGraph token streams; overflow doubles and retries.
+            est = (2 * self.num_arcs + 3 * self.num_nodes) // max(num_lanes, 1)
+            cap = max(64, int(est * 1.3))
+        while True:
+            vals, comps, counts, ok = decode_blocks(
+                self.tables, self.stream, lane_states, lane_ptrs,
+                jnp.asarray(starts), jnp.asarray(ends), ring,
+                W, self.min_interval, cap)
+            if bool(np.all(np.asarray(ok))):
+                break
+            cap *= 2
+        vals = np.asarray(vals)
+        comps = np.asarray(comps)
+        counts = np.asarray(counts)
+        out_v = np.concatenate([vals[l, : counts[l]] for l in range(num_lanes)])
+        out_c = np.concatenate([comps[l, : counts[l]] for l in range(num_lanes)])
+        return out_v, out_c

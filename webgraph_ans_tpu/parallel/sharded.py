@@ -1,0 +1,150 @@
+"""Multi-chip / multi-host scale-out (jax.sharding.Mesh + shard_map).
+
+The reference is single-threaded and single-machine (SURVEY.md section 2.3);
+scale-out is a new capability of this framework. The parallel decomposition:
+
+- decode: node-range blocks are independent entry points (the phase table),
+  so lanes shard over a 'blocks' mesh axis (data parallel). Decoder LUTs and
+  the u16 stream are replicated (broadcast over ICI once); every device runs
+  the same lane-parallel FSM kernel on its shard, and results are gathered
+  in node order.
+- model building: the pass-1/2 symbol streams shard over the same axis
+  ('sequence' parallelism over the token stream); per-device partial
+  histograms are summed with psum, after which the (fidelity, radix) grid
+  search runs replicated (it is tiny next to the histogram pass).
+
+On a real pod slice the 'blocks' axis spans all chips over ICI; the same
+code runs on an N-virtual-device CPU mesh for tests and dry runs.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from ..ops.decode_jax import DecoderTables, decode_blocks, seed_rings
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "blocks") -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (axis,))
+
+
+def sharded_decode_blocks(mesh: Mesh, tables: DecoderTables, stream,
+                          states, ptrs, starts, ends, ring,
+                          window: int, min_interval: int, cap: int):
+    """decode_blocks with the lane dimension sharded over the mesh's
+    'blocks' axis; tables and stream replicated. Returns fully-replicated
+    outputs (all_gather over the lane axis)."""
+    axis = mesh.axis_names[0]
+    rep = P()
+    lane = P(axis)
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(rep, rep, lane, lane, lane, lane, lane),
+        out_specs=(lane, lane, lane, lane),
+        check_vma=False)
+    def run(tables_, stream_, states_, ptrs_, starts_, ends_, ring_):
+        return decode_blocks(tables_, stream_, states_, ptrs_, starts_,
+                             ends_, ring_, window, min_interval, cap)
+
+    return run(tables, stream, states, ptrs, starts, ends, ring)
+
+
+def sharded_seed_rings(mesh: Mesh, tables: DecoderTables, stream,
+                       seed_states, seed_ptrs, starts, window: int):
+    axis = mesh.axis_names[0]
+    rep = P()
+    lane = P(axis)
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(rep, rep, lane, lane, lane),
+        out_specs=lane,
+        check_vma=False)
+    def run(tables_, stream_, ss, sp, st):
+        return seed_rings(tables_, stream_, ss, sp, st, window)
+
+    return run(tables, stream, seed_states, seed_ptrs, starts)
+
+
+def sharded_histogram(mesh: Mesh, symbols, components, num_bins: int):
+    """Per-component histogram of a sharded (symbol, component) stream:
+    local scatter-add + psum over the mesh axis (the TPU analog of the
+    pass-1/2 histogram sink, reference:
+    src/ans/model4encoder_builder.rs:67-78). Symbols above num_bins-1 are
+    clipped into the top bin (callers histogram folded symbols, which are
+    bounded). Returns a replicated [9, num_bins] count matrix."""
+    axis = mesh.axis_names[0]
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(axis), P(axis)),
+        out_specs=P(),
+        check_vma=False)
+    def run(sym, comp):
+        flat = comp.astype(jnp.int32) * num_bins + jnp.clip(
+            sym.astype(jnp.int32), 0, num_bins - 1)
+        local = jnp.zeros((9 * num_bins,), jnp.int32).at[flat].add(1)
+        return jax.lax.psum(local.reshape(9, num_bins), axis)
+
+    return run(symbols, components)
+
+
+class ShardedGraphDecoder:
+    """Mesh-parallel variant of TpuGraphDecoder: lanes spread across all
+    devices of the mesh, tables/stream replicated."""
+
+    def __init__(self, graph, mesh: Mesh | None = None):
+        from ..ops.graph_decode import TpuGraphDecoder
+
+        self.single = TpuGraphDecoder(graph)
+        self.mesh = mesh if mesh is not None else make_mesh()
+
+    def decode_tokens(self, lanes_per_device: int = 32, cap: int | None = None):
+        s = self.single
+        n_dev = self.mesh.devices.size
+        num_lanes = lanes_per_device * n_dev
+        starts, ends = s._block_bounds(num_lanes)
+        W = s.window
+        host_states = np.asarray(s.states)
+        host_ptrs = np.asarray(s.pointers)
+
+        if W > 0:
+            pre = starts[:, None] - W + np.arange(W)[None, :]
+            pre_cl = np.clip(pre, 0, s.num_nodes - 1)
+            ring = sharded_seed_rings(
+                self.mesh, s.tables, s.stream,
+                jnp.asarray(host_states[pre_cl]),
+                jnp.asarray(host_ptrs[pre_cl]),
+                jnp.asarray(starts), W)
+        else:
+            ring = jnp.zeros((num_lanes, 1), jnp.int32)
+
+        if cap is None:
+            est = (2 * s.num_arcs + 3 * s.num_nodes) // max(num_lanes, 1)
+            cap = max(64, int(est * 1.3))
+        while True:
+            vals, comps, counts, ok = sharded_decode_blocks(
+                self.mesh, s.tables, s.stream,
+                jnp.asarray(host_states[starts]),
+                jnp.asarray(host_ptrs[starts]),
+                jnp.asarray(starts), jnp.asarray(ends), ring,
+                W, s.min_interval, cap)
+            if bool(np.all(np.asarray(ok))):
+                break
+            cap *= 2
+        vals = np.asarray(vals)
+        comps = np.asarray(comps)
+        counts = np.asarray(counts)
+        out_v = np.concatenate([vals[l, : counts[l]] for l in range(num_lanes)])
+        out_c = np.concatenate([comps[l, : counts[l]] for l in range(num_lanes)])
+        return out_v, out_c

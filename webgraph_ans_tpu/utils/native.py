@@ -61,6 +61,11 @@ def _declare(lib: ctypes.CDLL) -> None:
             [u64, u64p, u32p, u32, u32, u32,
              u64p, u64p, u32p, u32p,
              u16p, u64p, u32p, u32p, u32p], void_p),
+        "wgt_bvcomp_tokens": (
+            [u64, u64p, u32p, u32, u32, u32, u64p, u64p, u32p, u32p], void_p),
+        "wgt_tok_count": ([void_p], u64),
+        "wgt_tok_get": ([void_p, u64p, u8p], None),
+        "wgt_tok_free": ([void_p], None),
         "wgt_enc_stream_len": ([void_p], u64),
         "wgt_enc_num_phases": ([void_p], u64),
         "wgt_enc_num_symbols": ([void_p], u64),
