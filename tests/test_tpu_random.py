@@ -1,0 +1,60 @@
+"""TPU batch random access vs the native recursive random-access decoder."""
+
+import numpy as np
+import pytest
+
+from webgraph_ans_tpu.bvgraph.graph import Adjacency
+from webgraph_ans_tpu.bvgraph.random_access import ANSBvGraph
+from webgraph_ans_tpu.bvgraph.store import compress_adjacency
+from webgraph_ans_tpu.ops.graph_decode import TpuGraphDecoder
+from webgraph_ans_tpu.ops.random_tpu import TpuRandomAccess
+
+
+def _check(adj, queries, window=7, max_ref=3, min_interval=2):
+    res = compress_adjacency(adj, window, max_ref, min_interval)
+    g = ANSBvGraph(res.prelude, res.states, res.pointers)
+    ra = TpuRandomAccess(TpuGraphDecoder(g))
+    got = ra.successors_batch(queries)
+    want = g.successors_batch(np.asarray(queries, np.uint64))
+    assert got.to_lists() == want.to_lists()
+
+
+def test_random_access_dummy(dummy_graph):
+    _check(dummy_graph, [4, 0, 2, 0, 5])
+
+
+def test_random_access_structured():
+    n = 64
+    lists = []
+    for i in range(n):
+        if i % 4 in (0, 1):
+            lists.append(list(range(0, 32)))
+        elif i % 4 == 2:
+            lists.append([j for j in range(0, 32) if j % 3 != 0])
+        else:
+            lists.append([1, 5, 50, 63])
+    _check(Adjacency.from_lists(lists), [63, 3, 17, 17, 0, 62],
+           min_interval=4)
+
+
+def test_random_access_random_graph():
+    rng = np.random.default_rng(9)
+    lists = []
+    for i in range(500):
+        dd = int(rng.integers(0, 16))
+        lists.append(sorted(rng.choice(500, size=dd, replace=False).tolist()))
+    queries = rng.integers(0, 500, size=200)
+    _check(Adjacency.from_lists(lists), queries)
+
+
+@pytest.mark.slow
+def test_random_access_cnr2000(cnr2000):
+    adj, _ = cnr2000
+    res = compress_adjacency(adj, 7, 3, 2)
+    g = ANSBvGraph(res.prelude, res.states, res.pointers)
+    ra = TpuRandomAccess(TpuGraphDecoder(g))
+    rng = np.random.default_rng(0)
+    queries = rng.integers(0, adj.num_nodes, size=5000)
+    got = ra.successors_batch(queries)
+    want = g.successors_batch(queries.astype(np.uint64))
+    assert got.to_lists() == want.to_lists()

@@ -8,19 +8,27 @@ src/ans/mod.rs:56-68, bvgraph_encoder.rs:159-174), which makes EVERY node an
 independent decode entry point. This module exploits that: node ranges become
 parallel decode *lanes*; each lane runs the rANS hot loop (LUT gather, state
 update, 16-bit refill, quasi-unfold) as vectorized u32 arithmetic across the
-lane dimension, and the BvGraph component grammar (reference decode order:
-outdegree, reference, blocks, intervals, residuals — see
-src/bvgraph/... via the webgraph `Decode` trait, and our executable spec in
-native/src/bvgraph.hpp `read_successors`) runs as a per-lane finite-state
+lane dimension, and the BvGraph component grammar (decode order executable
+spec: native/src/bvgraph.hpp read_successors) runs as a per-lane finite-state
 machine in lockstep.
 
-Everything here is jit-compatible: static shapes, `lax.while_loop` /
-`lax.fori_loop` control flow, gathers for table lookups. The same functions
-run under `shard_map` over a device mesh (see webgraph_ans_tpu.parallel).
+TPU-first data layout choices (gathers are the scarce resource):
+- the three decoder LUTs (freq|cumul, symbol prefix, fold count) are packed
+  into ONE [slots, 4]-u32 table so each token costs a single row gather;
+- per-component codec parameters (offset/log_m/mask/radix) are STATIC
+  Python constants baked into the program as 9-way select chains — no
+  parameter-table gathers at all;
+- the sliding outdegree ring is updated/read with one-hot arithmetic on a
+  [L, window+1] register block instead of scatter/gather;
+- token output is step-major ([cap, L]): one contiguous row write per
+  lockstep iteration.
 
-Numeric domain: all token values must fit in uint32, which holds for graphs
-with < 2^31 nodes (covers every LAW graph in BASELINE.md). The host wrapper
-checks this at table-build time.
+Everything is jit-compatible (static shapes, lax control flow) and runs
+unchanged under shard_map over a device mesh (webgraph_ans_tpu.parallel).
+
+Numeric domain: token values must fit in uint32, which holds for graphs
+with < 2^31 nodes (covers every LAW graph in BASELINE.md); the table
+builder checks this.
 """
 
 from __future__ import annotations
@@ -44,30 +52,28 @@ P_DONE = 9
 
 
 class DecoderTables(NamedTuple):
-    """Flattened per-component decode LUTs (reference LUT layout:
-    src/ans/models/model4decoder.rs:18-68, packed TPU-first: one u32
-    freq|cumul word + one u32 pre-shifted symbol prefix + fold count)."""
+    """Packed decode LUT (reference layout: src/ans/models/model4decoder.rs:
+    18-68, re-packed TPU-first). Row per slot: [freq | cumul<<16, symbol
+    prefix, fold count, 0]."""
 
-    lut_fc: jax.Array      # uint32 [slots]: freq | (cumul << 16)
-    lut_sym: jax.Array     # uint32 [slots]: quasi-unfolded symbol prefix
-    lut_folds: jax.Array   # uint32 [slots]: number of radix-chunks to pull
-    offset: jax.Array      # uint32 [9]: component LUT base offset
-    log_m: jax.Array       # uint32 [9]
-    mask: jax.Array        # uint32 [9]: frame_size - 1
-    radix: jax.Array       # uint32 [9]
+    lut: jax.Array  # uint32 [slots, 4]
 
 
-def build_decoder_tables(model: ANSModel) -> DecoderTables:
-    """Expands the encoder model into flat slot LUTs (host-side, numpy)."""
-    fc_parts, sym_parts, folds_parts = [], [], []
-    offsets, log_ms, masks, radixes = [], [], [], []
+# Static per-component codec parameters: 9 x (offset, log_m, mask, radix).
+CodecParams = tuple
+
+
+def build_decoder_tables(model: ANSModel) -> tuple[DecoderTables, CodecParams]:
+    """Expands the encoder model into the packed slot LUT (host-side) and
+    the static per-component parameter tuple."""
+    rows = []
+    params = []
     base = 0
     for c in model.components:
         frame = 1 << c.log_m if len(c.freqs) else 0
-        offsets.append(base)
-        log_ms.append(c.log_m)
-        masks.append((1 << c.log_m) - 1 if len(c.freqs) else 0)
-        radixes.append(c.radix)
+        params.append((base, int(c.log_m),
+                       (1 << c.log_m) - 1 if len(c.freqs) else 0,
+                       int(c.radix)))
         if frame == 0:
             continue
         freqs = c.freqs.astype(np.uint32)
@@ -83,22 +89,22 @@ def build_decoder_tables(model: ANSModel) -> DecoderTables:
         prefix = (syms.astype(np.uint64) - off * folds) << (folds * c.radix)
         if used and int(prefix.max()) >> 32:
             raise ValueError("symbol prefix exceeds 32 bits; graph too large for the TPU path")
-        fc = freqs[syms] | (cumul[syms].astype(np.uint32) << 16)
-        pad = frame - used
-        fc_parts.append(np.concatenate([fc, np.zeros(pad, np.uint32)]))
-        sym_parts.append(np.concatenate([prefix.astype(np.uint32), np.zeros(pad, np.uint32)]))
-        folds_parts.append(np.concatenate([folds.astype(np.uint32), np.zeros(pad, np.uint32)]))
+        row = np.zeros((frame, 4), dtype=np.uint32)
+        row[:used, 0] = freqs[syms] | (cumul[syms].astype(np.uint32) << 16)
+        row[:used, 1] = prefix.astype(np.uint32)
+        row[:used, 2] = folds.astype(np.uint32)
+        rows.append(row)
         base += frame
-    cat = lambda parts: np.concatenate(parts) if parts else np.zeros(1, np.uint32)
-    return DecoderTables(
-        lut_fc=jnp.asarray(cat(fc_parts)),
-        lut_sym=jnp.asarray(cat(sym_parts)),
-        lut_folds=jnp.asarray(cat(folds_parts)),
-        offset=jnp.asarray(np.array(offsets, np.uint32)),
-        log_m=jnp.asarray(np.array(log_ms, np.uint32)),
-        mask=jnp.asarray(np.array(masks, np.uint32)),
-        radix=jnp.asarray(np.array(radixes, np.uint32)),
-    )
+    lut = np.concatenate(rows) if rows else np.zeros((1, 4), np.uint32)
+    return DecoderTables(lut=jnp.asarray(lut)), tuple(params)
+
+
+def _per_comp_const(comp, params: CodecParams, field: int):
+    """comp-indexed constant via a 9-way select chain (no table gather)."""
+    out = jnp.full(comp.shape, np.uint32(params[0][field]), jnp.uint32)
+    for c in range(1, 9):
+        out = jnp.where(comp == c, np.uint32(params[c][field]), out)
+    return out
 
 
 def _refill(state, ptr, stream, active):
@@ -111,26 +117,26 @@ def _refill(state, ptr, stream, active):
     return state, jnp.where(need, new_ptr, ptr)
 
 
-def ans_decode_step(tables: DecoderTables, stream, state, ptr, comp, active):
-    """One rANS decode step per lane: LUT gather, state update, refill,
-    quasi-unfold (reference: src/ans/decoder.rs:58-87). All arguments are
-    vectors over the lane dimension; `active` masks finished lanes.
-
-    Returns (value, state, ptr) with value/state/ptr unchanged on inactive
-    lanes."""
+def ans_decode_step(params: CodecParams, tables: DecoderTables, stream,
+                    state, ptr, comp, active):
+    """One rANS decode step per lane: packed LUT row gather, state update,
+    refill, quasi-unfold (reference: src/ans/decoder.rs:58-87). All
+    arguments are vectors over the lane dimension; `active` masks finished
+    lanes. Returns (value, state, ptr), unchanged on inactive lanes."""
     comp = comp.astype(jnp.uint32)
-    log_m = tables.log_m[comp]
-    mask = tables.mask[comp]
-    radix = tables.radix[comp]
+    offset = _per_comp_const(comp, params, 0)
+    log_m = _per_comp_const(comp, params, 1)
+    mask = _per_comp_const(comp, params, 2)
+    radix = _per_comp_const(comp, params, 3)
     radix_mask = (jnp.uint32(1) << radix) - jnp.uint32(1)
 
     slot = state & mask
-    idx = tables.offset[comp] + slot
-    fc = tables.lut_fc[idx]
+    row = tables.lut[offset + slot]  # [L, 4]: ONE row gather per lane
+    fc = row[:, 0]
     freq = fc & jnp.uint32(0xFFFF)
     cumul = fc >> np.uint32(16)
-    prefix = tables.lut_sym[idx]
-    folds = tables.lut_folds[idx]
+    prefix = row[:, 1]
+    folds = row[:, 2]
 
     new_state = (state >> log_m) * freq + slot - cumul
     new_state, new_ptr = _refill(new_state, ptr, stream, active)
@@ -162,8 +168,9 @@ def ans_decode_step(tables: DecoderTables, stream, state, ptr, comp, active):
     return value, state, ptr
 
 
-@functools.partial(jax.jit, static_argnames=("num_tokens",))
-def decode_token_plan(tables: DecoderTables, stream, state, ptr, comps, num_tokens: int):
+@functools.partial(jax.jit, static_argnames=("params", "num_tokens"))
+def decode_token_plan(params: CodecParams, tables: DecoderTables, stream,
+                      state, ptr, comps, num_tokens: int):
     """Decodes a STATIC per-lane component plan: lane l decodes
     comps[l, t] for t in 0..num_tokens. The raw-codec counterpart of the
     native decode_raw (reference: ANSDecoder usage in
@@ -174,7 +181,8 @@ def decode_token_plan(tables: DecoderTables, stream, state, ptr, comps, num_toke
 
     def body(t, carry):
         values, state, ptr = carry
-        v, state, ptr = ans_decode_step(tables, stream, state, ptr, comps[:, t], active)
+        v, state, ptr = ans_decode_step(
+            params, tables, stream, state, ptr, comps[:, t], active)
         return values.at[:, t].set(v), state, ptr
 
     values, state, ptr = jax.lax.fori_loop(0, num_tokens, body, (values, state, ptr))
@@ -198,16 +206,18 @@ class _FSM(NamedTuple):
     iv_rem: jax.Array
     res_rem: jax.Array
     ring: jax.Array       # i32 [L, R] outdegree ring buffer
-    out_vals: jax.Array   # u32 [L, CAP]
-    out_comps: jax.Array  # i8 [L, CAP]
+    out_vals: jax.Array   # u32 [CAP, L] (step-major: row s = tokens of step s)
+    out_comps: jax.Array  # i8 [CAP, L]
     out_n: jax.Array      # i32 [L]
+    step_i: jax.Array     # i32 scalar: lockstep iteration index
 
 
 @functools.partial(
-    jax.jit, static_argnames=("window", "min_interval", "cap")
+    jax.jit, static_argnames=("params", "window", "min_interval", "cap")
 )
-def decode_blocks(tables: DecoderTables, stream, states, ptrs, starts, ends,
-                  ring_seed, window: int, min_interval: int, cap: int):
+def decode_blocks(params: CodecParams, tables: DecoderTables, stream,
+                  states, ptrs, starts, ends, ring_seed,
+                  window: int, min_interval: int, cap: int):
     """Grammar-FSM token decode of independent node ranges (blocks).
 
     Lane l decodes every (component, value) token of nodes
@@ -221,9 +231,9 @@ def decode_blocks(tables: DecoderTables, stream, states, ptrs, starts, ends,
     preceding each block at slots node_id % (window+1) (use seed_rings);
     entries for nodes < starts[l]-window are never read.
 
-    Returns (values [L, cap], comps [L, cap], counts [L], ok: bool[L]).
-    Lanes whose token count exceeds `cap` report ok=False (re-run with a
-    bigger cap)."""
+    Returns (values [cap, L] step-major, comps [cap, L], counts [L],
+    ok: bool[L]). Lane l's tokens are values[0:counts[l], l]. Lanes whose
+    token count exceeds `cap` report ok=False (re-run with a bigger cap)."""
     L = states.shape[0]
     R = window + 1
     i32 = jnp.int32
@@ -245,41 +255,50 @@ def decode_blocks(tables: DecoderTables, stream, states, ptrs, starts, ends,
         iv_rem=jnp.zeros((L,), i32),
         res_rem=jnp.zeros((L,), i32),
         ring=ring_seed.astype(i32),
-        out_vals=jnp.zeros((L, cap), jnp.uint32),
-        out_comps=jnp.zeros((L, cap), jnp.int8),
+        out_vals=jnp.zeros((cap, L), jnp.uint32),
+        out_comps=jnp.zeros((cap, L), jnp.int8),
         out_n=jnp.zeros((L,), i32),
+        step_i=jnp.zeros((), i32),
     )
     ends = ends.astype(i32)
-    lane_ids = jnp.arange(L)
+    ring_cols = jnp.arange(R)[None, :]  # [1, R] for one-hot ring ops
 
     def cond(f):
-        return jnp.any((f.phase != P_DONE) & (f.out_n < cap))
+        return (f.step_i < cap) & jnp.any(f.phase != P_DONE)
 
     def step(f):
-        active = (f.phase != P_DONE) & (f.out_n < cap)
+        active = f.phase != P_DONE
         v, state, ptr = ans_decode_step(
-            tables, stream, f.state, f.ptr, jnp.minimum(f.phase, P_RES), active
+            params, tables, stream, f.state, f.ptr,
+            jnp.minimum(f.phase, P_RES), active
         )
         v = v.astype(i32)  # all token values < 2^31 for supported graphs
 
-        # Record the token.
-        pos = jnp.clip(f.out_n, 0, cap - 1)
-        out_vals = f.out_vals.at[lane_ids, pos].set(
-            jnp.where(active, v.astype(jnp.uint32), f.out_vals[lane_ids, pos]))
-        out_comps = f.out_comps.at[lane_ids, pos].set(
-            jnp.where(active, f.phase.astype(jnp.int8), f.out_comps[lane_ids, pos]))
+        # Record the token. An active lane emits exactly one token per
+        # lockstep iteration, so lane l's tokens live at rows 0..count(l)-1
+        # of the step-major output: a contiguous row write
+        # (dynamic-update-slice on dim 0), far cheaper on TPU than a
+        # per-lane scatter or a strided column write.
+        out_vals = f.out_vals.at[f.step_i, :].set(
+            jnp.where(active, v.astype(jnp.uint32), 0))
+        out_comps = f.out_comps.at[f.step_i, :].set(
+            jnp.where(active, f.phase, 0).astype(jnp.int8))
         out_n = f.out_n + active.astype(i32)
 
         p = f.phase
         # --- per-phase register updates ---
         is_out = active & (p == P_OUT)
         d = jnp.where(is_out, v, f.d)
-        ring = f.ring.at[lane_ids, f.x % R].set(
-            jnp.where(is_out, v, f.ring[lane_ids, f.x % R]))
+        # one-hot ring write (scatter-free): slot x % R gets v on outdegree
+        ring = jnp.where(
+            is_out[:, None] & (ring_cols == (f.x % R)[:, None]),
+            v[:, None], f.ring)
 
         is_ref = active & (p == P_REF)
-        ref_outdeg = jnp.where(
-            is_ref, ring[lane_ids, (f.x - v) % R], f.ref_outdeg)
+        # one-hot ring read at (x - v) % R
+        ref_sel = jnp.sum(
+            jnp.where(ring_cols == ((f.x - v) % R)[:, None], ring, 0), axis=1)
+        ref_outdeg = jnp.where(is_ref, ref_sel, f.ref_outdeg)
 
         is_bc = active & (p == P_BC)
         bc = jnp.where(is_bc, v, f.bc)
@@ -318,8 +337,8 @@ def decode_blocks(tables: DecoderTables, stream, states, ptrs, starts, ends,
         res_rem = jnp.where(is_fr | is_res, f.res_rem - 1, f.res_rem)
 
         # --- next-phase selection ---
-        # Entry into the intervals/residuals tail happens from several
-        # phases; compute the entry condition + target once.
+        P_DONE_NODE = -1  # sentinel: node finished
+
         enter_tail = (
             (is_out & (v > 0) & (window == 0))
             | (is_ref & (v == 0))
@@ -332,8 +351,6 @@ def decode_blocks(tables: DecoderTables, stream, states, ptrs, starts, ends,
             if min_interval != 0:
                 return jnp.where(extra_v > 0, P_IC, P_DONE_NODE)
             return jnp.where(extra_v > 0, P_FR, P_DONE_NODE)
-
-        P_DONE_NODE = -1  # sentinel: node finished
 
         nxt = jnp.full((L,), -2, i32)  # -2: keep current phase
         nxt = jnp.where(is_out & (v == 0), P_DONE_NODE, nxt)
@@ -366,15 +383,16 @@ def decode_blocks(tables: DecoderTables, stream, states, ptrs, starts, ends,
 
         return _FSM(state, ptr, x, phase, d, bc, blocks_rem, blk_idx,
                     blocks_sum, copy_flag, copied, ref_outdeg, extra, iv_rem,
-                    res_rem, ring, out_vals, out_comps, out_n)
+                    res_rem, ring, out_vals, out_comps, out_n, f.step_i + 1)
 
     fsm = jax.lax.while_loop(cond, step, fsm)
     ok = fsm.phase == P_DONE
     return fsm.out_vals, fsm.out_comps, fsm.out_n, ok
 
 
-@functools.partial(jax.jit, static_argnames=("window",))
-def seed_rings(tables: DecoderTables, stream, states, ptrs, starts, window: int):
+@functools.partial(jax.jit, static_argnames=("params", "window"))
+def seed_rings(params: CodecParams, tables: DecoderTables, stream,
+               states, ptrs, starts, window: int):
     """Builds the outdegree ring seeds for decode_blocks: for each lane,
     decodes the single Outdegree token of each of the `window` nodes
     preceding the block start (independent entries via the phase table,
@@ -389,14 +407,15 @@ def seed_rings(tables: DecoderTables, stream, states, ptrs, starts, window: int)
     ring = jnp.zeros((L, R), jnp.int32)
     if window == 0:
         return ring
-    lane_ids = jnp.arange(L)
+    ring_cols = jnp.arange(R)[None, :]
     comp = jnp.zeros((L,), jnp.int32)  # OUTDEGREE
     for j in range(window):
         node = starts.astype(jnp.int32) - window + j
         valid = node >= 0
         v, _, _ = ans_decode_step(
-            tables, stream, states[:, j].astype(jnp.uint32),
+            params, tables, stream, states[:, j].astype(jnp.uint32),
             ptrs[:, j].astype(jnp.int32), comp, valid)
-        ring = ring.at[lane_ids, node % R].set(
-            jnp.where(valid, v.astype(jnp.int32), ring[lane_ids, node % R]))
+        ring = jnp.where(
+            valid[:, None] & (ring_cols == (node % R)[:, None]),
+            v.astype(jnp.int32)[:, None], ring)
     return ring

@@ -28,7 +28,7 @@ class TpuGraphDecoder:
         self.min_interval = p.min_interval_length
         self.num_nodes = p.num_nodes
         self.num_arcs = p.num_arcs
-        self.tables = build_decoder_tables(p.model)
+        self.tables, self.params = build_decoder_tables(p.model)
         # Pad so the refill gather is in-bounds even for an empty stream
         # (tiny graphs encode entirely in the final state).
         stream = np.ascontiguousarray(p.stream, dtype=np.uint32)
@@ -62,8 +62,8 @@ class TpuGraphDecoder:
             seed_states = jnp.asarray(host_states[pre_cl])
             seed_ptrs = jnp.asarray(host_ptrs[pre_cl])
             ring = seed_rings(
-                self.tables, self.stream, seed_states, seed_ptrs,
-                jnp.asarray(starts), W)
+                self.params, self.tables, self.stream, seed_states,
+                seed_ptrs, jnp.asarray(starts), W)
         else:
             ring = jnp.zeros((num_lanes, 1), jnp.int32)
 
@@ -77,14 +77,14 @@ class TpuGraphDecoder:
             cap = max(64, int(est * 1.3))
         while True:
             vals, comps, counts, ok = decode_blocks(
-                self.tables, self.stream, lane_states, lane_ptrs,
-                jnp.asarray(starts), jnp.asarray(ends), ring,
+                self.params, self.tables, self.stream, lane_states,
+                lane_ptrs, jnp.asarray(starts), jnp.asarray(ends), ring,
                 W, self.min_interval, cap)
             if bool(np.all(np.asarray(ok))):
                 break
             cap *= 2
-        vals = np.asarray(vals)
-        comps = np.asarray(comps)
+        vals = np.asarray(vals).T
+        comps = np.asarray(comps).T
         counts = np.asarray(counts)
         out_v = np.concatenate([vals[l, : counts[l]] for l in range(num_lanes)])
         out_c = np.concatenate([comps[l, : counts[l]] for l in range(num_lanes)])

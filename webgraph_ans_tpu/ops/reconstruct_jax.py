@@ -67,9 +67,16 @@ def _np_ragged(lengths, total):
 
 
 def reconstruct(values: np.ndarray, comps: np.ndarray, num_nodes: int,
-                min_interval: int):
+                min_interval: int, node_ids: np.ndarray | None = None):
     """Reconstructs the CSR adjacency (offsets u64, succs u32) from the
-    forward-order token stream of the whole graph."""
+    forward-order token stream.
+
+    With node_ids=None the stream covers nodes 0..num_nodes-1 in order.
+    Otherwise it covers exactly the nodes listed in node_ids (ascending
+    unique graph node ids, num_nodes of them) — used by random access,
+    where the decoded set is the query set plus its reference closure; the
+    set must be closed under references (x in set and x references x-r
+    implies x-r in set)."""
     values = np.asarray(values, dtype=np.int64)
     comps = np.asarray(comps, dtype=np.int8)
 
@@ -79,6 +86,13 @@ def reconstruct(values: np.ndarray, comps: np.ndarray, num_nodes: int,
     d = values[is_out].astype(np.int64)
     n = num_nodes
     assert len(d) == n, f"expected {n} outdegree tokens, got {len(d)}"
+    if node_ids is None:
+        gid = np.arange(n, dtype=np.int64)       # local index -> graph node id
+        local_of_gid = None
+    else:
+        gid = np.asarray(node_ids, dtype=np.int64)
+        assert len(gid) == n and np.all(np.diff(gid) > 0)
+        local_of_gid = True  # sentinel: use searchsorted mapping below
 
     ref = np.zeros(n, np.int64)
     m = comps == 1
@@ -115,7 +129,14 @@ def reconstruct(values: np.ndarray, comps: np.ndarray, num_nodes: int,
 
     # ---- copied-element plan (even-indexed runs copy; even block count
     # also copies the tail of the reference list: bvgraph.hpp:69-82) ----
-    d_ref = np.where(has_ref, d[np.maximum(np.arange(n) - ref, 0)], 0)
+    if local_of_gid is None:
+        parent_local = np.maximum(np.arange(n) - ref, 0)
+    else:
+        parent_local = np.searchsorted(gid, gid - ref)
+        parent_local = np.minimum(parent_local, n - 1)
+        assert np.all(gid[parent_local[has_ref]] == (gid - ref)[has_ref]), \
+            "decoded node set is not closed under references"
+    d_ref = np.where(has_ref, d[parent_local], 0)
     blk_idx = _np_intra_count(blk_node)
     run_start = _np_seg_cumsum(blocks, blk_first) - blocks
     is_copy_run = blk_idx % 2 == 0
@@ -147,7 +168,7 @@ def reconstruct(values: np.ndarray, comps: np.ndarray, num_nodes: int,
     k = 0
     while (depth < 0).any():
         idx = np.nonzero(depth < 0)[0]
-        ok = depth[idx - ref[idx]] == k
+        ok = depth[parent_local[idx]] == k
         depth[idx[ok]] = k + 1
         k += 1
         if k > n:
@@ -168,7 +189,7 @@ def reconstruct(values: np.ndarray, comps: np.ndarray, num_nodes: int,
         iv_first[1:] = iv_node[1:] != iv_node[:-1]
         prev_len = np.zeros(len(iv_len), np.int64)
         prev_len[1:] = np.where(iv_first[1:], 0, iv_len[:-1])
-        b = np.where(iv_first, iv_node + _np_nat2int(iv_start_tok),
+        b = np.where(iv_first, gid[iv_node] + _np_nat2int(iv_start_tok),
                      iv_start_tok + 1) + prev_len
         lefts = _np_seg_cumsum(b, iv_first)
         E_iv = int(iv_len.sum())
@@ -183,7 +204,7 @@ def reconstruct(values: np.ndarray, comps: np.ndarray, num_nodes: int,
     if len(res_nodes):
         flat_node = np.concatenate([res_nodes, res_gap_node])
         contrib = np.concatenate(
-            [res_nodes + _np_nat2int(fr[res_nodes]), res_gap + 1])
+            [gid[res_nodes] + _np_nat2int(fr[res_nodes]), res_gap + 1])
         pos = np.concatenate([np.zeros(len(res_nodes), np.int64),
                               _np_intra_count(res_gap_node) + 1])
         order = np.lexsort((pos, flat_node))
@@ -204,7 +225,7 @@ def reconstruct(values: np.ndarray, comps: np.ndarray, num_nodes: int,
         cop_refpos = cop_runs_start[cop_seg] + cop_intra
         cop_rank = _np_intra_count(cop_node)
         cop_slot = offsets[cop_node] + cop_rank
-        cop_src = offsets[cop_node - ref[cop_node]] + cop_refpos
+        cop_src = offsets[parent_local[cop_node]] + cop_refpos
         cop_depth = depth[cop_node]
 
     # ---- device rounds: gather copied values, re-sort all segments ----

@@ -37,7 +37,7 @@ def make_mesh(n_devices: int | None = None, axis: str = "blocks") -> Mesh:
     return Mesh(np.array(devs), (axis,))
 
 
-def sharded_decode_blocks(mesh: Mesh, tables: DecoderTables, stream,
+def sharded_decode_blocks(mesh: Mesh, params, tables: DecoderTables, stream,
                           states, ptrs, starts, ends, ring,
                           window: int, min_interval: int, cap: int):
     """decode_blocks with the lane dimension sharded over the mesh's
@@ -50,16 +50,16 @@ def sharded_decode_blocks(mesh: Mesh, tables: DecoderTables, stream,
     @functools.partial(
         shard_map, mesh=mesh,
         in_specs=(rep, rep, lane, lane, lane, lane, lane),
-        out_specs=(lane, lane, lane, lane),
+        out_specs=(P(None, axis), P(None, axis), lane, lane),
         check_vma=False)
     def run(tables_, stream_, states_, ptrs_, starts_, ends_, ring_):
-        return decode_blocks(tables_, stream_, states_, ptrs_, starts_,
-                             ends_, ring_, window, min_interval, cap)
+        return decode_blocks(params, tables_, stream_, states_, ptrs_,
+                             starts_, ends_, ring_, window, min_interval, cap)
 
     return run(tables, stream, states, ptrs, starts, ends, ring)
 
 
-def sharded_seed_rings(mesh: Mesh, tables: DecoderTables, stream,
+def sharded_seed_rings(mesh: Mesh, params, tables: DecoderTables, stream,
                        seed_states, seed_ptrs, starts, window: int):
     axis = mesh.axis_names[0]
     rep = P()
@@ -71,7 +71,7 @@ def sharded_seed_rings(mesh: Mesh, tables: DecoderTables, stream,
         out_specs=lane,
         check_vma=False)
     def run(tables_, stream_, ss, sp, st):
-        return seed_rings(tables_, stream_, ss, sp, st, window)
+        return seed_rings(params, tables_, stream_, ss, sp, st, window)
 
     return run(tables, stream, seed_states, seed_ptrs, starts)
 
@@ -122,7 +122,7 @@ class ShardedGraphDecoder:
             pre = starts[:, None] - W + np.arange(W)[None, :]
             pre_cl = np.clip(pre, 0, s.num_nodes - 1)
             ring = sharded_seed_rings(
-                self.mesh, s.tables, s.stream,
+                self.mesh, s.params, s.tables, s.stream,
                 jnp.asarray(host_states[pre_cl]),
                 jnp.asarray(host_ptrs[pre_cl]),
                 jnp.asarray(starts), W)
@@ -134,7 +134,7 @@ class ShardedGraphDecoder:
             cap = max(64, int(est * 1.3))
         while True:
             vals, comps, counts, ok = sharded_decode_blocks(
-                self.mesh, s.tables, s.stream,
+                self.mesh, s.params, s.tables, s.stream,
                 jnp.asarray(host_states[starts]),
                 jnp.asarray(host_ptrs[starts]),
                 jnp.asarray(starts), jnp.asarray(ends), ring,
@@ -142,8 +142,8 @@ class ShardedGraphDecoder:
             if bool(np.all(np.asarray(ok))):
                 break
             cap *= 2
-        vals = np.asarray(vals)
-        comps = np.asarray(comps)
+        vals = np.asarray(vals).T
+        comps = np.asarray(comps).T
         counts = np.asarray(counts)
         out_v = np.concatenate([vals[l, : counts[l]] for l in range(num_lanes)])
         out_c = np.concatenate([comps[l, : counts[l]] for l in range(num_lanes)])
