@@ -43,14 +43,13 @@ def test_raw_codec_plan_matches_native():
     model = model_from_sequences({c: vals[comps == c] for c in range(9)})
     enc = encode_raw(model, vals, comps)
 
-    tables, params = build_decoder_tables(model)
+    tables, params = build_decoder_tables(model, enc.stream)
     import jax.numpy as jnp
-    stream = jnp.asarray(enc.stream.astype(np.uint32))
     # Single lane decodes the whole sequence in LIFO order.
     state = jnp.asarray(np.array([enc.final_state], np.uint32))
     ptr = jnp.asarray(np.array([len(enc.stream)], np.int32))
     plan = jnp.asarray(comps[::-1].astype(np.int32)[None, :])
-    got, _, _ = decode_token_plan(params, tables, stream, state, ptr, plan, n)
+    got, _, _ = decode_token_plan(params, tables, state, ptr, plan, n)
     np.testing.assert_array_equal(
         np.asarray(got)[0], vals[::-1].astype(np.uint32))
 

@@ -12,9 +12,12 @@ lane dimension, and the BvGraph component grammar (decode order executable
 spec: native/src/bvgraph.hpp read_successors) runs as a per-lane finite-state
 machine in lockstep.
 
-TPU-first data layout choices (gathers are the scarce resource):
-- the three decoder LUTs (freq|cumul, symbol prefix, fold count) are packed
-  into ONE [slots, 4]-u32 table so each token costs a single row gather;
+TPU-first data layout choices (gathers are the scarce resource — and on
+TPU, gathers from DIFFERENT buffers inside one loop body defeat loop
+fusion and cost ~100x more than gathers from one buffer):
+- the three decoder LUT columns (freq|cumul, symbol prefix, fold count)
+  AND the u16 stream all live in ONE flat u32 buffer; every gather in the
+  hot loop hits that single buffer at a static region offset;
 - per-component codec parameters (offset/log_m/mask/radix) are STATIC
   Python constants baked into the program as 9-way select chains — no
   parameter-table gathers at all;
@@ -52,21 +55,24 @@ P_DONE = 9
 
 
 class DecoderTables(NamedTuple):
-    """Packed decode LUT (reference layout: src/ans/models/model4decoder.rs:
-    18-68, re-packed TPU-first). Row per slot: [freq | cumul<<16, symbol
-    prefix, fold count, 0]."""
+    """One flat u32 decode buffer (reference LUT layout:
+    src/ans/models/model4decoder.rs:18-68, re-packed TPU-first):
+    [fc (slots) | sym prefix (slots) | fold count (slots) | stream words].
+    Region bases are static ints in CodecParams so every hot-loop gather
+    addresses this single buffer."""
 
-    lut: jax.Array  # uint32 [slots, 4]
+    buf: jax.Array  # uint32 [3 * slots + stream_len]
 
 
-# Static per-component codec parameters: 9 x (offset, log_m, mask, radix).
+# Static codec parameters: 9 x (offset, log_m, mask, radix), then the slot
+# count (region stride) as element [9]. _per_comp_const only reads [0..8].
 CodecParams = tuple
 
 
-def build_decoder_tables(model: ANSModel) -> tuple[DecoderTables, CodecParams]:
-    """Expands the encoder model into the packed slot LUT (host-side) and
-    the static per-component parameter tuple."""
-    rows = []
+def build_decoder_tables(model: ANSModel, stream) -> tuple[DecoderTables, CodecParams]:
+    """Expands the encoder model + u16 stream into the flat decode buffer
+    (host-side) and the static parameter tuple."""
+    fc_parts, sym_parts, fold_parts = [], [], []
     params = []
     base = 0
     for c in model.components:
@@ -89,14 +95,27 @@ def build_decoder_tables(model: ANSModel) -> tuple[DecoderTables, CodecParams]:
         prefix = (syms.astype(np.uint64) - off * folds) << (folds * c.radix)
         if used and int(prefix.max()) >> 32:
             raise ValueError("symbol prefix exceeds 32 bits; graph too large for the TPU path")
-        row = np.zeros((frame, 4), dtype=np.uint32)
-        row[:used, 0] = freqs[syms] | (cumul[syms].astype(np.uint32) << 16)
-        row[:used, 1] = prefix.astype(np.uint32)
-        row[:used, 2] = folds.astype(np.uint32)
-        rows.append(row)
+        pad = frame - used
+        fc_parts.append(np.concatenate(
+            [freqs[syms] | (cumul[syms].astype(np.uint32) << 16),
+             np.zeros(pad, np.uint32)]))
+        sym_parts.append(np.concatenate(
+            [prefix.astype(np.uint32), np.zeros(pad, np.uint32)]))
+        fold_parts.append(np.concatenate(
+            [folds.astype(np.uint32), np.zeros(pad, np.uint32)]))
         base += frame
-    lut = np.concatenate(rows) if rows else np.zeros((1, 4), np.uint32)
-    return DecoderTables(lut=jnp.asarray(lut)), tuple(params)
+    slots = max(base, 1)
+    z = [np.zeros(1, np.uint32)]
+    fc = np.concatenate(fc_parts or z)
+    sym = np.concatenate(sym_parts or z)
+    fold = np.concatenate(fold_parts or z)
+    fc.resize(slots); sym.resize(slots); fold.resize(slots)
+    stream_w = np.ascontiguousarray(stream, dtype=np.uint16).astype(np.uint32)
+    if len(stream_w) == 0:
+        stream_w = np.zeros(1, np.uint32)
+    buf = np.concatenate([fc, sym, fold, stream_w])
+    params.append(slots)
+    return DecoderTables(buf=jnp.asarray(buf)), tuple(params)
 
 
 def _per_comp_const(comp, params: CodecParams, field: int):
@@ -107,39 +126,43 @@ def _per_comp_const(comp, params: CodecParams, field: int):
     return out
 
 
-def _refill(state, ptr, stream, active):
-    """Masked 16-bit renormalization refill, reading the stream backwards
-    (reference: src/ans/decoder.rs:89-93)."""
+def _refill(state, ptr, buf, stream_base: int, active):
+    """Masked 16-bit renormalization refill, reading the stream region of
+    the flat buffer backwards (reference: src/ans/decoder.rs:89-93)."""
     need = active & (state < LOWER_BOUND)
     new_ptr = ptr - need.astype(ptr.dtype)
-    word = stream[jnp.clip(new_ptr, 0, stream.shape[0] - 1)]
+    word = buf[stream_base + jnp.maximum(new_ptr, 0)]
     state = jnp.where(need, (state << np.uint32(B)) | word, state)
     return state, jnp.where(need, new_ptr, ptr)
 
 
-def ans_decode_step(params: CodecParams, tables: DecoderTables, stream,
+def ans_decode_step(params: CodecParams, tables: DecoderTables,
                     state, ptr, comp, active):
-    """One rANS decode step per lane: packed LUT row gather, state update,
-    refill, quasi-unfold (reference: src/ans/decoder.rs:58-87). All
-    arguments are vectors over the lane dimension; `active` masks finished
-    lanes. Returns (value, state, ptr), unchanged on inactive lanes."""
+    """One rANS decode step per lane: LUT gathers, state update, refill,
+    quasi-unfold (reference: src/ans/decoder.rs:58-87) — every gather into
+    the one flat buffer. All arguments are vectors over the lane dimension;
+    `active` masks finished lanes. Returns (value, state, ptr), unchanged
+    on inactive lanes."""
     comp = comp.astype(jnp.uint32)
     offset = _per_comp_const(comp, params, 0)
     log_m = _per_comp_const(comp, params, 1)
     mask = _per_comp_const(comp, params, 2)
     radix = _per_comp_const(comp, params, 3)
     radix_mask = (jnp.uint32(1) << radix) - jnp.uint32(1)
+    slots = params[9]
+    buf = tables.buf
+    stream_base = 3 * slots
 
     slot = state & mask
-    row = tables.lut[offset + slot]  # [L, 4]: ONE row gather per lane
-    fc = row[:, 0]
+    idx = offset + slot
+    fc = buf[idx]
     freq = fc & jnp.uint32(0xFFFF)
     cumul = fc >> np.uint32(16)
-    prefix = row[:, 1]
-    folds = row[:, 2]
+    prefix = buf[np.uint32(slots) + idx]
+    folds = buf[np.uint32(2 * slots) + idx]
 
     new_state = (state >> log_m) * freq + slot - cumul
-    new_state, new_ptr = _refill(new_state, ptr, stream, active)
+    new_state, new_ptr = _refill(new_state, ptr, buf, stream_base, active)
 
     # Pull `folds` radix-bit chunks back out of the state, refilling between
     # pulls (reference: decoder.rs:71-86). Lockstep over the max live fold
@@ -150,10 +173,10 @@ def ans_decode_step(params: CodecParams, tables: DecoderTables, stream,
     def body(carry):
         folds_left, st, pt, fold = carry
         a = folds_left > 0
-        st, pt = _refill(st, pt, stream, a)
+        st, pt = _refill(st, pt, buf, stream_base, a)
         fold = jnp.where(a, (fold << radix) | (st & radix_mask), fold)
         st = jnp.where(a, st >> radix, st)
-        st, pt = _refill(st, pt, stream, a)
+        st, pt = _refill(st, pt, buf, stream_base, a)
         return folds_left - a.astype(folds_left.dtype), st, pt, fold
 
     folds = jnp.where(active, folds, 0)
@@ -169,7 +192,7 @@ def ans_decode_step(params: CodecParams, tables: DecoderTables, stream,
 
 
 @functools.partial(jax.jit, static_argnames=("params", "num_tokens"))
-def decode_token_plan(params: CodecParams, tables: DecoderTables, stream,
+def decode_token_plan(params: CodecParams, tables: DecoderTables,
                       state, ptr, comps, num_tokens: int):
     """Decodes a STATIC per-lane component plan: lane l decodes
     comps[l, t] for t in 0..num_tokens. The raw-codec counterpart of the
@@ -182,7 +205,7 @@ def decode_token_plan(params: CodecParams, tables: DecoderTables, stream,
     def body(t, carry):
         values, state, ptr = carry
         v, state, ptr = ans_decode_step(
-            params, tables, stream, state, ptr, comps[:, t], active)
+            params, tables, state, ptr, comps[:, t], active)
         return values.at[:, t].set(v), state, ptr
 
     values, state, ptr = jax.lax.fori_loop(0, num_tokens, body, (values, state, ptr))
@@ -215,7 +238,7 @@ class _FSM(NamedTuple):
 @functools.partial(
     jax.jit, static_argnames=("params", "window", "min_interval", "cap")
 )
-def decode_blocks(params: CodecParams, tables: DecoderTables, stream,
+def decode_blocks(params: CodecParams, tables: DecoderTables,
                   states, ptrs, starts, ends, ring_seed,
                   window: int, min_interval: int, cap: int):
     """Grammar-FSM token decode of independent node ranges (blocks).
@@ -269,7 +292,7 @@ def decode_blocks(params: CodecParams, tables: DecoderTables, stream,
     def step(f):
         active = f.phase != P_DONE
         v, state, ptr = ans_decode_step(
-            params, tables, stream, f.state, f.ptr,
+            params, tables, f.state, f.ptr,
             jnp.minimum(f.phase, P_RES), active
         )
         v = v.astype(i32)  # all token values < 2^31 for supported graphs
@@ -391,7 +414,7 @@ def decode_blocks(params: CodecParams, tables: DecoderTables, stream,
 
 
 @functools.partial(jax.jit, static_argnames=("params", "window"))
-def seed_rings(params: CodecParams, tables: DecoderTables, stream,
+def seed_rings(params: CodecParams, tables: DecoderTables,
                states, ptrs, starts, window: int):
     """Builds the outdegree ring seeds for decode_blocks: for each lane,
     decodes the single Outdegree token of each of the `window` nodes
@@ -413,7 +436,7 @@ def seed_rings(params: CodecParams, tables: DecoderTables, stream,
         node = starts.astype(jnp.int32) - window + j
         valid = node >= 0
         v, _, _ = ans_decode_step(
-            params, tables, stream, states[:, j].astype(jnp.uint32),
+            params, tables, states[:, j].astype(jnp.uint32),
             ptrs[:, j].astype(jnp.int32), comp, valid)
         ring = jnp.where(
             valid[:, None] & (ring_cols == (node % R)[:, None]),

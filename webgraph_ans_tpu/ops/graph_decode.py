@@ -28,21 +28,30 @@ class TpuGraphDecoder:
         self.min_interval = p.min_interval_length
         self.num_nodes = p.num_nodes
         self.num_arcs = p.num_arcs
-        self.tables, self.params = build_decoder_tables(p.model)
-        # Pad so the refill gather is in-bounds even for an empty stream
-        # (tiny graphs encode entirely in the final state).
-        stream = np.ascontiguousarray(p.stream, dtype=np.uint32)
-        if len(stream) == 0:
-            stream = np.zeros(1, dtype=np.uint32)
-        self.stream = jnp.asarray(stream)
+        self.tables, self.params = build_decoder_tables(p.model, p.stream)
         # graph.states/pointers are already in node order.
         self.states = jnp.asarray(graph.states)
         self.pointers = jnp.asarray(graph.pointers.astype(np.int64).astype(np.int32))
 
     def _block_bounds(self, num_lanes: int):
+        """Block boundaries balanced by per-node STREAM spans (pointers are
+        descending in node order), so lanes carry similar token loads
+        instead of similar node counts."""
         n = self.num_nodes
-        starts = (np.arange(num_lanes, dtype=np.int64) * n) // num_lanes
-        ends = (np.arange(1, num_lanes + 1, dtype=np.int64) * n) // num_lanes
+        ptrs = np.asarray(self.pointers, dtype=np.int64)
+        if n <= num_lanes or ptrs[0] == ptrs[-1]:
+            starts = (np.arange(num_lanes, dtype=np.int64) * n) // num_lanes
+            ends = (np.arange(1, num_lanes + 1, dtype=np.int64) * n) // num_lanes
+            return starts.astype(np.int32), ends.astype(np.int32)
+        consumed = ptrs[0] - ptrs  # ascending cumulative stream usage
+        targets = (np.arange(num_lanes, dtype=np.int64) * consumed[-1]) // num_lanes
+        starts = np.searchsorted(consumed, targets, side="left").astype(np.int64)
+        starts[0] = 0
+        starts = np.minimum(starts, n - 1)
+        starts = np.maximum.accumulate(starts)
+        ends = np.empty_like(starts)
+        ends[:-1] = starts[1:]
+        ends[-1] = n
         return starts.astype(np.int32), ends.astype(np.int32)
 
     def decode_tokens(self, num_lanes: int = 256, cap: int | None = None):
@@ -62,7 +71,7 @@ class TpuGraphDecoder:
             seed_states = jnp.asarray(host_states[pre_cl])
             seed_ptrs = jnp.asarray(host_ptrs[pre_cl])
             ring = seed_rings(
-                self.params, self.tables, self.stream, seed_states,
+                self.params, self.tables, seed_states,
                 seed_ptrs, jnp.asarray(starts), W)
         else:
             ring = jnp.zeros((num_lanes, 1), jnp.int32)
@@ -77,7 +86,7 @@ class TpuGraphDecoder:
             cap = max(64, int(est * 1.3))
         while True:
             vals, comps, counts, ok = decode_blocks(
-                self.params, self.tables, self.stream, lane_states,
+                self.params, self.tables, lane_states,
                 lane_ptrs, jnp.asarray(starts), jnp.asarray(ends), ring,
                 W, self.min_interval, cap)
             if bool(np.all(np.asarray(ok))):

@@ -43,7 +43,7 @@ class TpuRandomAccess:
         if W > 0:
             pre = nodes[:, None].astype(np.int64) - W + np.arange(W)[None, :]
             pre_cl = np.clip(pre, 0, d.num_nodes - 1)
-            ring = seed_rings(d.params, d.tables, d.stream,
+            ring = seed_rings(d.params, d.tables,
                               jnp.asarray(host_states[pre_cl]),
                               jnp.asarray(host_ptrs[pre_cl]),
                               starts, W)
@@ -51,7 +51,7 @@ class TpuRandomAccess:
             ring = jnp.zeros((L, 1), jnp.int32)
         while True:
             vals, comps, counts, ok = decode_blocks(
-                d.params, d.tables, d.stream,
+                d.params, d.tables,
                 jnp.asarray(host_states[nodes]),
                 jnp.asarray(host_ptrs[nodes]),
                 starts, ends, ring, W, d.min_interval, cap)

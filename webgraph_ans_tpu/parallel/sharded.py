@@ -37,29 +37,29 @@ def make_mesh(n_devices: int | None = None, axis: str = "blocks") -> Mesh:
     return Mesh(np.array(devs), (axis,))
 
 
-def sharded_decode_blocks(mesh: Mesh, params, tables: DecoderTables, stream,
+def sharded_decode_blocks(mesh: Mesh, params, tables: DecoderTables,
                           states, ptrs, starts, ends, ring,
                           window: int, min_interval: int, cap: int):
     """decode_blocks with the lane dimension sharded over the mesh's
-    'blocks' axis; tables and stream replicated. Returns fully-replicated
-    outputs (all_gather over the lane axis)."""
+    'blocks' axis; the decode buffer replicated (one ICI broadcast).
+    Returns lane-sharded outputs."""
     axis = mesh.axis_names[0]
     rep = P()
     lane = P(axis)
 
     @functools.partial(
         shard_map, mesh=mesh,
-        in_specs=(rep, rep, lane, lane, lane, lane, lane),
+        in_specs=(rep, lane, lane, lane, lane, lane),
         out_specs=(P(None, axis), P(None, axis), lane, lane),
         check_vma=False)
-    def run(tables_, stream_, states_, ptrs_, starts_, ends_, ring_):
-        return decode_blocks(params, tables_, stream_, states_, ptrs_,
+    def run(tables_, states_, ptrs_, starts_, ends_, ring_):
+        return decode_blocks(params, tables_, states_, ptrs_,
                              starts_, ends_, ring_, window, min_interval, cap)
 
-    return run(tables, stream, states, ptrs, starts, ends, ring)
+    return run(tables, states, ptrs, starts, ends, ring)
 
 
-def sharded_seed_rings(mesh: Mesh, params, tables: DecoderTables, stream,
+def sharded_seed_rings(mesh: Mesh, params, tables: DecoderTables,
                        seed_states, seed_ptrs, starts, window: int):
     axis = mesh.axis_names[0]
     rep = P()
@@ -67,13 +67,13 @@ def sharded_seed_rings(mesh: Mesh, params, tables: DecoderTables, stream,
 
     @functools.partial(
         shard_map, mesh=mesh,
-        in_specs=(rep, rep, lane, lane, lane),
+        in_specs=(rep, lane, lane, lane),
         out_specs=lane,
         check_vma=False)
-    def run(tables_, stream_, ss, sp, st):
-        return seed_rings(params, tables_, stream_, ss, sp, st, window)
+    def run(tables_, ss, sp, st):
+        return seed_rings(params, tables_, ss, sp, st, window)
 
-    return run(tables, stream, seed_states, seed_ptrs, starts)
+    return run(tables, seed_states, seed_ptrs, starts)
 
 
 def sharded_histogram(mesh: Mesh, symbols, components, num_bins: int):
@@ -122,7 +122,7 @@ class ShardedGraphDecoder:
             pre = starts[:, None] - W + np.arange(W)[None, :]
             pre_cl = np.clip(pre, 0, s.num_nodes - 1)
             ring = sharded_seed_rings(
-                self.mesh, s.params, s.tables, s.stream,
+                self.mesh, s.params, s.tables,
                 jnp.asarray(host_states[pre_cl]),
                 jnp.asarray(host_ptrs[pre_cl]),
                 jnp.asarray(starts), W)
@@ -134,7 +134,7 @@ class ShardedGraphDecoder:
             cap = max(64, int(est * 1.3))
         while True:
             vals, comps, counts, ok = sharded_decode_blocks(
-                self.mesh, s.params, s.tables, s.stream,
+                self.mesh, s.params, s.tables,
                 jnp.asarray(host_states[starts]),
                 jnp.asarray(host_ptrs[starts]),
                 jnp.asarray(starts), jnp.asarray(ends), ring,
