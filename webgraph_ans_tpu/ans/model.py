@@ -147,9 +147,14 @@ def _component_entropy(counts: np.ndarray, total: int) -> float:
     return float(np.sum(-np.log2(p) * counts.astype(np.float64)))
 
 
-def build_model(histograms: list[Histogram]) -> ANSModel:
+def build_model(histograms: list[Histogram],
+                max_frame_log2: int = 16) -> ANSModel:
     """Builds the 9-component ANSModel from raw-symbol histograms
-    (reference: builder.rs:80-271)."""
+    (reference: builder.rs:80-271).
+
+    max_frame_log2 < 16 trades a little compression for decode-table size:
+    the TPU decode path is fastest when all frames fit the chip's staging
+    budget (see ops/decode_jax.py). 16 reproduces the reference exactly."""
     original_costs = []
     totals = []
     for syms, counts in histograms:
@@ -168,6 +173,7 @@ def build_model(histograms: list[Histogram]) -> ANSModel:
         counts = counts.astype(np.uint64)
         total = totals[comp]
 
+        max_frame = 1 << max_frame_log2
         best = None  # (frame_size, fidelity, radix, distribution, cost)
         best_frame = None
         lowest_cost = math.inf
@@ -191,7 +197,9 @@ def build_model(histograms: list[Histogram]) -> ANSModel:
             order = np.argsort(folded[nz], kind="stable")
             sorted_idx = nz[order].astype(np.uint64)
 
-            while m <= MAXIMUM_FRAME_SIZE:
+            if m > max_frame:
+                continue
+            while m <= max_frame:
                 approx = _scale_freqs(folded, sorted_idx, total, m)
                 if approx is None:
                     m *= 2
@@ -213,7 +221,7 @@ def build_model(histograms: list[Histogram]) -> ANSModel:
                         lowest_cost = new_cost
                         best = (m, fidelity, radix, approx[: biggest_symbol + 1].copy())
                         best_frame = m
-                elif m == MAXIMUM_FRAME_SIZE:
+                elif m == max_frame:
                     # never found an acceptable distribution at this combo;
                     # keep the best max-frame one across combos
                     if new_cost >= lowest_cost:

@@ -143,7 +143,8 @@ def dump_tokens(adj: Adjacency, window: int, max_ref: int, min_interval: int,
 
 def compress_adjacency(adj: Adjacency, compression_window: int = 7,
                        max_ref_count: int = 3, min_interval_length: int = 2,
-                       use_tpu_model_search: bool = False) -> CompressionResult:
+                       use_tpu_model_search: bool = False,
+                       max_frame_log2: int = 12) -> CompressionResult:
     t0 = time.time()
     # Pass 1: bootstrap model with the log2 estimator.
     hist1 = _run_histogram_pass(
@@ -152,9 +153,9 @@ def compress_adjacency(adj: Adjacency, compression_window: int = 7,
     )
     if use_tpu_model_search:
         from ..ops.model_jax import build_model_jax
-        model1 = build_model_jax(hist1)
+        model1 = build_model_jax(hist1, max_frame_log2)
     else:
-        model1 = build_model(hist1)
+        model1 = build_model(hist1, max_frame_log2)
     log.info("pass 1 (log2 histograms + model) in %.2fs", time.time() - t0)
 
     # Pass 2: refined model under the pass-1 entropy estimator.
@@ -166,9 +167,9 @@ def compress_adjacency(adj: Adjacency, compression_window: int = 7,
     )
     if use_tpu_model_search:
         from ..ops.model_jax import build_model_jax
-        model2 = build_model_jax(hist2)
+        model2 = build_model_jax(hist2, max_frame_log2)
     else:
-        model2 = build_model(hist2)
+        model2 = build_model(hist2, max_frame_log2)
     log.info("pass 2 (entropy histograms + model) in %.2fs", time.time() - t1)
 
     # Pass 3: encode with the pass-2 model; selection still driven by the
@@ -193,13 +194,15 @@ def compress_adjacency(adj: Adjacency, compression_window: int = 7,
 
 def store(basename: str, new_basename: str, compression_window: int = 7,
           max_ref_count: int = 3, min_interval_length: int = 2,
-          use_tpu_model_search: bool = False) -> CompressionResult:
+          use_tpu_model_search: bool = False,
+          max_frame_log2: int = 12) -> CompressionResult:
     """Recompresses the BVGraph at `basename` into `new_basename.{ans,pointers,states}`
     (reference: ANSBvGraph::store, random_access.rs:91-222)."""
     adj, _props = load_bvgraph(basename)
     result = compress_adjacency(
         adj, compression_window, max_ref_count, min_interval_length,
         use_tpu_model_search=use_tpu_model_search,
+        max_frame_log2=max_frame_log2,
     )
     result.prelude.save(new_basename)
     save_states(new_basename, result.states)

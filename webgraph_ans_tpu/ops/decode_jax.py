@@ -12,24 +12,35 @@ lane dimension, and the BvGraph component grammar (decode order executable
 spec: native/src/bvgraph.hpp read_successors) runs as a per-lane finite-state
 machine in lockstep.
 
-TPU-first data layout choices (gathers are the scarce resource — and on
-TPU, gathers from DIFFERENT buffers inside one loop body defeat loop
-fusion and cost ~100x more than gathers from one buffer):
-- the three decoder LUT columns (freq|cumul, symbol prefix, fold count)
-  AND the u16 stream all live in ONE flat u32 buffer; every gather in the
-  hot loop hits that single buffer at a static region offset;
-- per-component codec parameters (offset/log_m/mask/radix) are STATIC
-  Python constants baked into the program as 9-way select chains — no
-  parameter-table gathers at all;
-- the sliding outdegree ring is updated/read with one-hot arithmetic on a
-  [L, window+1] register block instead of scatter/gather;
-- token output is step-major ([cap, L]): one contiguous row write per
-  lockstep iteration.
+TPU-first layout rules (measured on v5e; per-token gathers and loop
+carries are the scarce resources):
+- the only per-token gathers hit the small flat LUT buffer (three regions:
+  freq|cumul, symbol prefix, fold count). Kept under the chip's staging
+  budget (the model builder caps frame sizes), XLA stages it into VMEM
+  once and the gathers run at VPU speed;
+- the u16 stream is NEVER element-gathered: words are packed two-per-u32
+  into 16-pair rows, and each token fetches the 2 (or 3, for high-fold
+  models) rows straddling its pointer with fast per-lane ROW gathers;
+  renormalization refills then select the word from those register-resident
+  pairs (select_n chains, pure VPU);
+- ALL per-lane FSM registers (including the sliding outdegree ring and the
+  packed component-nibble accumulator) live in ONE [rows, L] i32 array:
+  with more than one small vector carry, XLA re-stages gather operands
+  every iteration; with one packed carry the staging hoists;
+- the quasi-unfold loop is statically unrolled to the MODEL's maximum fold
+  count (params[10]) — no nested while, no data-dependent trip sync;
+- per-component codec parameters are STATIC Python constants baked in as
+  9-way select chains — no parameter-table gathers;
+- the loop body decodes ONE token (no unrolling): TPU instruction memory
+  is limited, and an oversized loop body de-optimizes every op in it;
+- token output is step-major: row s of the fused output buffer holds the
+  values of lockstep step s, and component ids are packed 8-per-u32 in the
+  rows after `cap`.
 
 Everything is jit-compatible (static shapes, lax control flow) and runs
 unchanged under shard_map over a device mesh (webgraph_ans_tpu.parallel).
 
-Numeric domain: token values must fit in uint32, which holds for graphs
+Numeric domain: token values must fit in uint31, which holds for graphs
 with < 2^31 nodes (covers every LAW graph in BASELINE.md); the table
 builder checks this.
 """
@@ -53,19 +64,33 @@ LOWER_BOUND = np.uint32(1 << 16)
 P_OUT, P_REF, P_BC, P_BLK, P_IC, P_IS, P_IL, P_FR, P_RES = range(9)
 P_DONE = 9
 
+# Component nibbles are packed 8 per u32 output word.
+UNROLL = 8
+
+# Stream layout: words packed 2-per-u32, 8 pairs (16 words) per row.
+PAIRS_PER_ROW = 8
+WORDS_PER_ROW = 16
+
+# Packed register file rows. The outdegree ring occupies rows
+# NREG..NREG+window.
+R_STATE, R_PTR, R_X, R_PHASE, R_D, R_BC, R_BREM, R_BIDX, R_BSUM, R_CPY, \
+    R_COPIED, R_REFD, R_EXTRA, R_IVREM, R_RESREM, R_OUTN, R_CPK = range(17)
+NREG = 17
+
 
 class DecoderTables(NamedTuple):
-    """One flat u32 decode buffer (reference LUT layout:
-    src/ans/models/model4decoder.rs:18-68, re-packed TPU-first):
-    [fc (slots) | sym prefix (slots) | fold count (slots) | stream words].
-    Region bases are static ints in CodecParams so every hot-loop gather
-    addresses this single buffer."""
+    """Decode LUT regions (reference layout:
+    src/ans/models/model4decoder.rs:18-68, re-packed TPU-first) and the
+    row-packed stream: lut = [fc (slots) | sym prefix (slots) | fold count
+    (slots)], gathered per token; stream_rows[r, p] packs words 16r+2p
+    (low half) and 16r+2p+1 (high half)."""
 
-    buf: jax.Array  # uint32 [3 * slots + stream_len]
+    lut: jax.Array          # uint32 [slots, 4]: fc, sym prefix, folds, 0
+    stream_rows: jax.Array  # uint32 [ceil(stream_len/16), 8]
 
 
-# Static codec parameters: 9 x (offset, log_m, mask, radix), then the slot
-# count (region stride) as element [9]. _per_comp_const only reads [0..8].
+# Static codec parameters: 9 x (offset, log_m, mask, radix), then [9] the
+# slot count (region stride) and [10] the model's maximum fold count.
 CodecParams = tuple
 
 
@@ -75,6 +100,7 @@ def build_decoder_tables(model: ANSModel, stream) -> tuple[DecoderTables, CodecP
     fc_parts, sym_parts, fold_parts = [], [], []
     params = []
     base = 0
+    max_folds = 0
     for c in model.components:
         frame = 1 << c.log_m if len(c.freqs) else 0
         params.append((base, int(c.log_m),
@@ -93,8 +119,11 @@ def build_decoder_tables(model: ANSModel, stream) -> tuple[DecoderTables, CodecP
         off = c.folding_offset
         folds = np.where(syms < thr, 0, (syms - thr) // off + 1).astype(np.uint64)
         prefix = (syms.astype(np.uint64) - off * folds) << (folds * c.radix)
-        if used and int(prefix.max()) >> 32:
-            raise ValueError("symbol prefix exceeds 32 bits; graph too large for the TPU path")
+        if used:
+            if int(prefix.max()) >> 31:
+                raise ValueError(
+                    "symbol prefix exceeds 31 bits; graph too large for the TPU path")
+            max_folds = max(max_folds, int(folds.max()))
         pad = frame - used
         fc_parts.append(np.concatenate(
             [freqs[syms] | (cumul[syms].astype(np.uint32) << 16),
@@ -109,13 +138,23 @@ def build_decoder_tables(model: ANSModel, stream) -> tuple[DecoderTables, CodecP
     fc = np.concatenate(fc_parts or z)
     sym = np.concatenate(sym_parts or z)
     fold = np.concatenate(fold_parts or z)
-    fc.resize(slots); sym.resize(slots); fold.resize(slots)
+    fc.resize(slots)
+    sym.resize(slots)
+    fold.resize(slots)
     stream_w = np.ascontiguousarray(stream, dtype=np.uint16).astype(np.uint32)
-    if len(stream_w) == 0:
-        stream_w = np.zeros(1, np.uint32)
-    buf = np.concatenate([fc, sym, fold, stream_w])
+    target = max(-(-len(stream_w) // WORDS_PER_ROW) * WORDS_PER_ROW,
+                 WORDS_PER_ROW)
+    if target > len(stream_w):
+        stream_w = np.concatenate(
+            [stream_w, np.zeros(target - len(stream_w), np.uint32)])
+    pairs = stream_w[0::2] | (stream_w[1::2] << 16)
+    stream_rows = pairs.reshape(-1, PAIRS_PER_ROW)
+    lut = np.stack([fc, sym, fold, np.zeros_like(fc)], axis=1)
     params.append(slots)
-    return DecoderTables(buf=jnp.asarray(buf)), tuple(params)
+    params.append(max_folds)
+    return (DecoderTables(lut=jnp.asarray(lut),
+                          stream_rows=jnp.asarray(stream_rows)),
+            tuple(params))
 
 
 def _per_comp_const(comp, params: CodecParams, field: int):
@@ -126,64 +165,82 @@ def _per_comp_const(comp, params: CodecParams, field: int):
     return out
 
 
-def _refill(state, ptr, buf, stream_base: int, active):
-    """Masked 16-bit renormalization refill, reading the stream region of
-    the flat buffer backwards (reference: src/ans/decoder.rs:89-93)."""
+def fetch_window(tables: DecoderTables, ptr, rows_back: int):
+    """Per-token stream window: the `rows_back` 16-word rows at and below
+    the pointer, as register-resident pairs. Returns (win [8*rows_back, L]
+    u32 pair rows, pbase [L] first pair index). One fast per-lane ROW
+    gather per row — never an element gather into the stream."""
+    rp = jnp.maximum(ptr.astype(jnp.int32) - 1, 0) >> 4
+    parts = []
+    for k in range(rows_back - 1, -1, -1):
+        parts.append(tables.stream_rows[jnp.maximum(rp - k, 0)])  # [L, 8]
+    win = jnp.concatenate(parts, axis=1).T  # [8*rows_back, L], low->high
+    # pbase may go negative near the stream start; the clamped duplicate
+    # low rows are then never addressed (valid streams never read below 0)
+    pbase = (rp - (rows_back - 1)) * PAIRS_PER_ROW
+    return win, pbase
+
+
+def _refill_pair(state, ptr, win, pbase, active):
+    """Masked 16-bit renormalization refill from the pair window
+    (reference: src/ans/decoder.rs:89-93)."""
+    P = win.shape[0]
     need = active & (state < LOWER_BOUND)
     new_ptr = ptr - need.astype(ptr.dtype)
-    word = buf[stream_base + jnp.maximum(new_ptr, 0)]
+    pidx = jnp.clip((new_ptr >> 1) - pbase, 0, P - 1)
+    pair = jax.lax.select_n(pidx, *[win[k] for k in range(P)])
+    word = jnp.where((new_ptr & 1) == 1, pair >> np.uint32(16),
+                     pair & jnp.uint32(0xFFFF))
     state = jnp.where(need, (state << np.uint32(B)) | word, state)
     return state, jnp.where(need, new_ptr, ptr)
 
 
+def _rows_back(max_folds: int) -> int:
+    """Stream rows a token can straddle: worst-case word consumption is
+    1 + 2*max_folds, and in the worst alignment only 16*(rows_back-1)
+    words below the pointer are covered."""
+    return 1 + -(-(1 + 2 * max_folds) // WORDS_PER_ROW)
+
+
 def ans_decode_step(params: CodecParams, tables: DecoderTables,
-                    state, ptr, comp, active):
-    """One rANS decode step per lane: LUT gathers, state update, refill,
-    quasi-unfold (reference: src/ans/decoder.rs:58-87) — every gather into
-    the one flat buffer. All arguments are vectors over the lane dimension;
-    `active` masks finished lanes. Returns (value, state, ptr), unchanged
-    on inactive lanes."""
+                    state, ptr, comp, active, win, pbase):
+    """One rANS decode step per lane: LUT gathers, state update,
+    pair-window refills, quasi-unfold (reference: src/ans/decoder.rs:
+    58-87); unfold statically unrolled to the model's maximum fold count.
+    All arguments are vectors over the lane dimension; `active` masks
+    finished lanes. Returns (value, state, ptr), unchanged on inactive
+    lanes."""
     comp = comp.astype(jnp.uint32)
     offset = _per_comp_const(comp, params, 0)
     log_m = _per_comp_const(comp, params, 1)
     mask = _per_comp_const(comp, params, 2)
     radix = _per_comp_const(comp, params, 3)
     radix_mask = (jnp.uint32(1) << radix) - jnp.uint32(1)
-    slots = params[9]
-    buf = tables.buf
-    stream_base = 3 * slots
+    max_folds = params[10]
+    lut = tables.lut
 
     slot = state & mask
-    idx = offset + slot
-    fc = buf[idx]
+    row = lut[offset + slot]      # ONE 16-byte row DMA per lane per token
+    fc = row[:, 0]
     freq = fc & jnp.uint32(0xFFFF)
     cumul = fc >> np.uint32(16)
-    prefix = buf[np.uint32(slots) + idx]
-    folds = buf[np.uint32(2 * slots) + idx]
+    prefix = row[:, 1]
+    folds = row[:, 2]
 
     new_state = (state >> log_m) * freq + slot - cumul
-    new_state, new_ptr = _refill(new_state, ptr, buf, stream_base, active)
+    new_state, new_ptr = _refill_pair(new_state, ptr, win, pbase, active)
 
     # Pull `folds` radix-bit chunks back out of the state, refilling between
-    # pulls (reference: decoder.rs:71-86). Lockstep over the max live fold
-    # count; typical counts are 0-3.
-    def cond(carry):
-        return jnp.any(carry[0] > 0)
-
-    def body(carry):
-        folds_left, st, pt, fold = carry
+    # pulls (reference: decoder.rs:71-86). Statically unrolled and masked.
+    fold = jnp.zeros_like(state)
+    folds_left = jnp.where(active, folds, 0)
+    for _ in range(max_folds):
         a = folds_left > 0
-        st, pt = _refill(st, pt, buf, stream_base, a)
-        fold = jnp.where(a, (fold << radix) | (st & radix_mask), fold)
-        st = jnp.where(a, st >> radix, st)
-        st, pt = _refill(st, pt, buf, stream_base, a)
-        return folds_left - a.astype(folds_left.dtype), st, pt, fold
-
-    folds = jnp.where(active, folds, 0)
-    fold0 = jnp.zeros_like(state)
-    _, new_state, new_ptr, fold = jax.lax.while_loop(
-        cond, body, (folds, new_state, new_ptr, fold0)
-    )
+        new_state, new_ptr = _refill_pair(new_state, new_ptr, win, pbase, a)
+        fold = jnp.where(a, (fold << radix) | (new_state & radix_mask), fold)
+        new_state = jnp.where(a, new_state >> radix, new_state)
+        new_state, new_ptr = _refill_pair(new_state, new_ptr, win, pbase, a)
+        folds_left = folds_left - a.astype(folds_left.dtype)
 
     value = prefix | fold
     state = jnp.where(active, new_state, state)
@@ -199,40 +256,26 @@ def decode_token_plan(params: CodecParams, tables: DecoderTables,
     native decode_raw (reference: ANSDecoder usage in
     tests/compressor_tests.rs). Returns (values [L, T], state, ptr)."""
     L = state.shape[0]
-    values = jnp.zeros((L, num_tokens), dtype=jnp.uint32)
+    values = jnp.zeros((num_tokens, L), dtype=jnp.uint32)
     active = jnp.ones((L,), dtype=bool)
+    regs = jnp.stack(
+        [jax.lax.bitcast_convert_type(state.astype(jnp.uint32), jnp.int32),
+         ptr.astype(jnp.int32)], axis=0)
 
     def body(t, carry):
-        values, state, ptr = carry
+        regs, values = carry
+        state = jax.lax.bitcast_convert_type(regs[0], jnp.uint32)
+        win, pbase = fetch_window(tables, regs[1], _rows_back(params[10]))
         v, state, ptr = ans_decode_step(
-            params, tables, state, ptr, comps[:, t], active)
-        return values.at[:, t].set(v), state, ptr
+            params, tables, state, regs[1], comps[:, t], active, win, pbase)
+        values = values.at[t, :].set(v)
+        regs = jnp.stack(
+            [jax.lax.bitcast_convert_type(state, jnp.int32), ptr], axis=0)
+        return regs, values
 
-    values, state, ptr = jax.lax.fori_loop(0, num_tokens, body, (values, state, ptr))
-    return values, state, ptr
-
-
-class _FSM(NamedTuple):
-    state: jax.Array      # u32 [L] rANS state
-    ptr: jax.Array        # i32 [L] stream pointer
-    x: jax.Array          # i32 [L] current node id
-    phase: jax.Array      # i32 [L]
-    d: jax.Array          # i32 [L] outdegree of current node
-    bc: jax.Array         # i32 [L] block count
-    blocks_rem: jax.Array
-    blk_idx: jax.Array
-    blocks_sum: jax.Array
-    copy_flag: jax.Array  # bool [L]
-    copied: jax.Array
-    ref_outdeg: jax.Array
-    extra: jax.Array
-    iv_rem: jax.Array
-    res_rem: jax.Array
-    ring: jax.Array       # i32 [L, R] outdegree ring buffer
-    out_vals: jax.Array   # u32 [CAP, L] (step-major: row s = tokens of step s)
-    out_comps: jax.Array  # i8 [CAP, L]
-    out_n: jax.Array      # i32 [L]
-    step_i: jax.Array     # i32 scalar: lockstep iteration index
+    regs, values = jax.lax.fori_loop(0, num_tokens, body, (regs, values))
+    return (values.T,
+            jax.lax.bitcast_convert_type(regs[0], jnp.uint32), regs[1])
 
 
 @functools.partial(
@@ -247,93 +290,89 @@ def decode_blocks(params: CodecParams, tables: DecoderTables,
     starts[l]..ends[l]-1, entering the stream at that node's phase. The
     component sequence is data-dependent (the BvGraph grammar; executable
     spec: native/src/bvgraph.hpp read_successors); each lane tracks it with
-    a small register FSM, and all lanes advance one token per lockstep
-    iteration.
+    a small register FSM (a single packed [regs, L] carry), and all lanes
+    advance UNROLL tokens per lockstep loop iteration.
 
     ring_seed [L, window+1] must hold the outdegrees of the `window` nodes
     preceding each block at slots node_id % (window+1) (use seed_rings);
     entries for nodes < starts[l]-window are never read.
 
-    Returns (values [cap, L] step-major, comps [cap, L], counts [L],
-    ok: bool[L]). Lane l's tokens are values[0:counts[l], l]. Lanes whose
-    token count exceeds `cap` report ok=False (re-run with a bigger cap)."""
+    cap must be a multiple of 8. Returns (out [cap + cap//8, L] u32,
+    counts [L], ok bool[L]): row s < cap holds the token values of lockstep
+    step s (lane l's tokens are rows 0..counts[l]-1), rows cap + s//8 hold
+    the component ids packed 4 bits per token, 8 tokens per word
+    (token s at nibble s % 8). Lanes whose token count exceeds `cap`
+    report ok=False (re-run with a bigger cap)."""
+    assert cap % UNROLL == 0
+    rows_back = _rows_back(params[10])
+    assert 1 + 2 * params[10] <= WORDS_PER_ROW * (rows_back - 1), (
+        f"model max_folds {params[10]} exceeds the stream window")
     L = states.shape[0]
     R = window + 1
     i32 = jnp.int32
 
-    fsm = _FSM(
-        state=states.astype(jnp.uint32),
-        ptr=ptrs.astype(i32),
-        x=starts.astype(i32),
-        phase=jnp.where(starts < ends, P_OUT, P_DONE).astype(i32),
-        d=jnp.zeros((L,), i32),
-        bc=jnp.zeros((L,), i32),
-        blocks_rem=jnp.zeros((L,), i32),
-        blk_idx=jnp.zeros((L,), i32),
-        blocks_sum=jnp.zeros((L,), i32),
-        copy_flag=jnp.zeros((L,), bool),
-        copied=jnp.zeros((L,), i32),
-        ref_outdeg=jnp.zeros((L,), i32),
-        extra=jnp.zeros((L,), i32),
-        iv_rem=jnp.zeros((L,), i32),
-        res_rem=jnp.zeros((L,), i32),
-        ring=ring_seed.astype(i32),
-        out_vals=jnp.zeros((cap, L), jnp.uint32),
-        out_comps=jnp.zeros((cap, L), jnp.int8),
-        out_n=jnp.zeros((L,), i32),
-        step_i=jnp.zeros((), i32),
-    )
+    regs = jnp.zeros((NREG + R, L), i32)
+    regs = regs.at[R_STATE].set(
+        jax.lax.bitcast_convert_type(states.astype(jnp.uint32), i32))
+    regs = regs.at[R_PTR].set(ptrs.astype(i32))
+    regs = regs.at[R_X].set(starts.astype(i32))
+    regs = regs.at[R_PHASE].set(
+        jnp.where(starts < ends, P_OUT, P_DONE).astype(i32))
+    regs = regs.at[NREG:].set(ring_seed.astype(i32).T)
     ends = ends.astype(i32)
-    ring_cols = jnp.arange(R)[None, :]  # [1, R] for one-hot ring ops
+    out = jnp.zeros((cap + cap // UNROLL, L), jnp.uint32)
+    # untouched packed-component rows must read as 0xF nibbles
+    out = out.at[cap:, :].set(jnp.uint32(0xFFFFFFFF))
 
-    def cond(f):
-        return (f.step_i < cap) & jnp.any(f.phase != P_DONE)
+    ring_rows = jnp.arange(R)[:, None]  # [R, 1] for one-hot ring ops
 
-    def step(f):
-        active = f.phase != P_DONE
+    def cond(carry):
+        step, regs, out = carry
+        return (step < cap) & jnp.any(regs[R_PHASE] != P_DONE)
+
+    def one_step(regs, cpk):
+        """One FSM token step on the packed register file; returns
+        (new regs, value u32, nibble: phase, or 0xF on finished lanes)."""
+        p = regs[R_PHASE]
+        ptr0 = regs[R_PTR]
+        active = p != P_DONE
+        state = jax.lax.bitcast_convert_type(regs[R_STATE], jnp.uint32)
+        win, pbase = fetch_window(tables, ptr0, rows_back)
         v, state, ptr = ans_decode_step(
-            params, tables, f.state, f.ptr,
-            jnp.minimum(f.phase, P_RES), active
-        )
-        v = v.astype(i32)  # all token values < 2^31 for supported graphs
+            params, tables, state, ptr0, jnp.minimum(p, P_RES), active,
+            win, pbase)
+        vu = jnp.where(active, v, 0)
+        nib = jnp.where(active, p.astype(jnp.uint32), jnp.uint32(0xF))
+        v = jax.lax.bitcast_convert_type(v, i32)
 
-        # Record the token. An active lane emits exactly one token per
-        # lockstep iteration, so lane l's tokens live at rows 0..count(l)-1
-        # of the step-major output: a contiguous row write
-        # (dynamic-update-slice on dim 0), far cheaper on TPU than a
-        # per-lane scatter or a strided column write.
-        out_vals = f.out_vals.at[f.step_i, :].set(
-            jnp.where(active, v.astype(jnp.uint32), 0))
-        out_comps = f.out_comps.at[f.step_i, :].set(
-            jnp.where(active, f.phase, 0).astype(jnp.int8))
-        out_n = f.out_n + active.astype(i32)
+        x = regs[R_X]
+        d, bc = regs[R_D], regs[R_BC]
+        blocks_rem, blk_idx, blocks_sum = regs[R_BREM], regs[R_BIDX], regs[R_BSUM]
+        copy_flag = regs[R_CPY] != 0
+        copied, ref_outdeg = regs[R_COPIED], regs[R_REFD]
+        extra, iv_rem, res_rem = regs[R_EXTRA], regs[R_IVREM], regs[R_RESREM]
+        ring = regs[NREG:]
 
-        p = f.phase
-        # --- per-phase register updates ---
         is_out = active & (p == P_OUT)
-        d = jnp.where(is_out, v, f.d)
-        # one-hot ring write (scatter-free): slot x % R gets v on outdegree
+        d = jnp.where(is_out, v, d)
         ring = jnp.where(
-            is_out[:, None] & (ring_cols == (f.x % R)[:, None]),
-            v[:, None], f.ring)
+            is_out[None, :] & (ring_rows == (x % R)[None, :]), v[None, :], ring)
 
         is_ref = active & (p == P_REF)
-        # one-hot ring read at (x - v) % R
         ref_sel = jnp.sum(
-            jnp.where(ring_cols == ((f.x - v) % R)[:, None], ring, 0), axis=1)
-        ref_outdeg = jnp.where(is_ref, ref_sel, f.ref_outdeg)
+            jnp.where(ring_rows == ((x - v) % R)[None, :], ring, 0), axis=0)
+        ref_outdeg = jnp.where(is_ref, ref_sel, ref_outdeg)
 
         is_bc = active & (p == P_BC)
-        bc = jnp.where(is_bc, v, f.bc)
-        blocks_rem = jnp.where(is_bc, v, f.blocks_rem)
-        blk_idx = jnp.where(is_bc, 0, f.blk_idx)
-        blocks_sum = jnp.where(is_bc, 0, f.blocks_sum)
-        copy_flag = jnp.where(is_bc, True, f.copy_flag)
-        # `copied` is stale from the previous node on every fresh-node path
-        # (no-reference or ref == 0), not just at P_BC.
-        copied = jnp.where(is_bc | is_ref | is_out, 0, f.copied)
-        # bc == 0 means an even (empty) block list: the whole reference list
-        # is tail-copied (native/src/bvgraph.hpp:79-81).
+        bc = jnp.where(is_bc, v, bc)
+        blocks_rem = jnp.where(is_bc, v, blocks_rem)
+        blk_idx = jnp.where(is_bc, 0, blk_idx)
+        blocks_sum = jnp.where(is_bc, 0, blocks_sum)
+        copy_flag = jnp.where(is_bc, True, copy_flag)
+        # `copied` is stale from the previous node on every fresh-node path.
+        copied = jnp.where(is_bc | is_ref | is_out, 0, copied)
+        # bc == 0: the whole reference list is tail-copied
+        # (native/src/bvgraph.hpp:79-81).
         copied = jnp.where(is_bc & (v == 0), ref_outdeg, copied)
 
         is_blk = active & (p == P_BLK)
@@ -345,19 +384,19 @@ def decode_blocks(params: CodecParams, tables: DecoderTables,
         blocks_rem = jnp.where(is_blk, blocks_rem - 1, blocks_rem)
         blocks_done = is_blk & (blocks_rem == 0)
         copied = jnp.where(
-            blocks_done & (bc % 2 == 0), copied + ref_outdeg - blocks_sum, copied)
+            blocks_done & (bc % 2 == 0), copied + ref_outdeg - blocks_sum,
+            copied)
 
         is_ic = active & (p == P_IC)
-        iv_rem = jnp.where(is_ic, v, f.iv_rem)
+        iv_rem = jnp.where(is_ic, v, iv_rem)
 
         is_il = active & (p == P_IL)
-        length = v + min_interval
-        extra = jnp.where(is_il, f.extra - length, f.extra)
+        extra = jnp.where(is_il, extra - (v + min_interval), extra)
         iv_rem = jnp.where(is_il, iv_rem - 1, iv_rem)
 
         is_fr = active & (p == P_FR)
         is_res = active & (p == P_RES)
-        res_rem = jnp.where(is_fr | is_res, f.res_rem - 1, f.res_rem)
+        res_rem = jnp.where(is_fr | is_res, res_rem - 1, res_rem)
 
         # --- next-phase selection ---
         P_DONE_NODE = -1  # sentinel: node finished
@@ -386,13 +425,14 @@ def decode_blocks(params: CodecParams, tables: DecoderTables,
         nxt = jnp.where(is_bc & (v > 0), P_BLK, nxt)
         nxt = jnp.where(is_bc & (v == 0), tail_phase(extra), nxt)
         nxt = jnp.where(blocks_done, tail_phase(extra), nxt)
-        # interval count decoded: ic > 0 -> interval pairs; ic == 0 -> the
-        # residual tail (extra > 0 is guaranteed at P_IC entry).
+        # ic > 0 -> interval pairs; ic == 0 -> the residual tail (extra > 0
+        # is guaranteed at P_IC entry).
         nxt = jnp.where(is_ic, jnp.where(v > 0, P_IS, P_FR), nxt)
         nxt = jnp.where(active & (p == P_IS), P_IL, nxt)
         nxt = jnp.where(
             is_il,
-            jnp.where(iv_rem > 0, P_IS, jnp.where(extra > 0, P_FR, P_DONE_NODE)),
+            jnp.where(iv_rem > 0, P_IS,
+                      jnp.where(extra > 0, P_FR, P_DONE_NODE)),
             nxt,
         )
         res_rem = jnp.where(nxt == P_FR, extra, res_rem)
@@ -400,17 +440,61 @@ def decode_blocks(params: CodecParams, tables: DecoderTables,
                         jnp.where(res_rem > 0, P_RES, P_DONE_NODE), nxt)
 
         node_done = nxt == P_DONE_NODE
-        x = jnp.where(node_done, f.x + 1, f.x)
+        x = jnp.where(node_done, x + 1, x)
         nxt = jnp.where(node_done, jnp.where(x >= ends, P_DONE, P_OUT), nxt)
         phase = jnp.where(nxt == -2, p, nxt)
 
-        return _FSM(state, ptr, x, phase, d, bc, blocks_rem, blk_idx,
-                    blocks_sum, copy_flag, copied, ref_outdeg, extra, iv_rem,
-                    res_rem, ring, out_vals, out_comps, out_n, f.step_i + 1)
+        new_regs = jnp.concatenate([
+            jnp.stack([
+                jax.lax.bitcast_convert_type(state, i32), ptr, x, phase, d,
+                bc, blocks_rem, blk_idx, blocks_sum, copy_flag.astype(i32),
+                copied, ref_outdeg, extra, iv_rem, res_rem,
+                regs[R_OUTN] + active.astype(i32), cpk,
+            ], axis=0),
+            ring,
+        ], axis=0)
+        return new_regs, vu, nib
 
-    fsm = jax.lax.while_loop(cond, step, fsm)
-    ok = fsm.phase == P_DONE
-    return fsm.out_vals, fsm.out_comps, fsm.out_n, ok
+    def body(carry):
+        step, regs, out = carry
+        sub = step % UNROLL
+        cpk_prev = jax.lax.bitcast_convert_type(regs[R_CPK], jnp.uint32)
+        # fresh words start all-0xF so unexecuted tail nibbles read invalid
+        cpk_prev = jnp.where(sub == 0, jnp.uint32(0xFFFFFFFF), cpk_prev)
+        regs, vu, nib = one_step(
+            regs, jnp.zeros((L,), i32))  # cpk reg rewritten below
+        shift = (4 * sub).astype(jnp.uint32)
+        cpk = ((cpk_prev & ~(jnp.uint32(0xF) << shift))
+               | ((nib & jnp.uint32(0xF)) << shift))
+        regs = regs.at[R_CPK].set(jax.lax.bitcast_convert_type(cpk, i32))
+        out = out.at[step, :].set(vu)
+        out = out.at[cap + step // UNROLL, :].set(cpk)
+        return step + 1, regs, out
+
+    step, regs, out = jax.lax.while_loop(
+        cond, body, (jnp.zeros((), i32), regs, out))
+    ok = regs[R_PHASE] == P_DONE
+    return out, regs[R_OUTN], ok
+
+
+def unpack_block_tokens(out: np.ndarray, counts: np.ndarray, cap: int):
+    """Host-side unpack of decode_blocks output into forward-node-order
+    (values u32, comps u8) flat arrays. Rows whose component nibble is 0xF
+    (finished-lane or past-the-end rows) are dropped; each lane contributes
+    exactly counts[l] tokens in order."""
+    L = out.shape[1]
+    vals = out[:cap]                     # [cap, L]
+    cpk = out[cap:]                      # [cap//8, L]
+    steps = np.arange(cap)
+    nib = (cpk[steps // UNROLL, :] >> ((steps % UNROLL) * 4)[:, None]) & 0xF
+    valid = nib <= 8                     # [cap, L]
+    # column-major flatten keeps each lane's rows contiguous and in order
+    vmask = valid.T.ravel()
+    flat_v = vals.T.ravel()[vmask]
+    flat_c = nib.T.ravel()[vmask].astype(np.uint8)
+    lane_counts = valid.sum(axis=0)
+    assert np.array_equal(lane_counts, counts), "bubble accounting mismatch"
+    return flat_v, flat_c
 
 
 @functools.partial(jax.jit, static_argnames=("params", "window"))
@@ -435,10 +519,12 @@ def seed_rings(params: CodecParams, tables: DecoderTables,
     for j in range(window):
         node = starts.astype(jnp.int32) - window + j
         valid = node >= 0
+        ptr_j = ptrs[:, j].astype(jnp.int32)
+        win, pbase = fetch_window(tables, ptr_j, _rows_back(params[10]))
         v, _, _ = ans_decode_step(
             params, tables, states[:, j].astype(jnp.uint32),
-            ptrs[:, j].astype(jnp.int32), comp, valid)
+            ptr_j, comp, valid, win, pbase)
         ring = jnp.where(
             valid[:, None] & (ring_cols == (node % R)[:, None]),
-            v.astype(jnp.int32)[:, None], ring)
+            jax.lax.bitcast_convert_type(v, jnp.int32)[:, None], ring)
     return ring

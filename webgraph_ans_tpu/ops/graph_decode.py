@@ -13,7 +13,8 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..bvgraph.random_access import ANSBvGraph
-from .decode_jax import build_decoder_tables, decode_blocks, seed_rings
+from .decode_jax import (UNROLL, build_decoder_tables, decode_blocks,
+                         seed_rings, unpack_block_tokens)
 
 
 class TpuGraphDecoder:
@@ -84,17 +85,13 @@ class TpuGraphDecoder:
             # for BvGraph token streams; overflow doubles and retries.
             est = (2 * self.num_arcs + 3 * self.num_nodes) // max(num_lanes, 1)
             cap = max(64, int(est * 1.3))
+        cap = -(-cap // UNROLL) * UNROLL
         while True:
-            vals, comps, counts, ok = decode_blocks(
+            out, counts, ok = decode_blocks(
                 self.params, self.tables, lane_states,
                 lane_ptrs, jnp.asarray(starts), jnp.asarray(ends), ring,
                 W, self.min_interval, cap)
             if bool(np.all(np.asarray(ok))):
                 break
             cap *= 2
-        vals = np.asarray(vals).T
-        comps = np.asarray(comps).T
-        counts = np.asarray(counts)
-        out_v = np.concatenate([vals[l, : counts[l]] for l in range(num_lanes)])
-        out_c = np.concatenate([comps[l, : counts[l]] for l in range(num_lanes)])
-        return out_v, out_c
+        return unpack_block_tokens(np.asarray(out), np.asarray(counts), cap)

@@ -52,14 +52,16 @@ def _fold_all_combos(syms: np.ndarray, counts: np.ndarray):
     return folded, biggest
 
 
-def build_model_jax(histograms: list[Histogram]) -> ANSModel:
+def build_model_jax(histograms: list[Histogram],
+                    max_frame_log2: int = 16) -> ANSModel:
     """Drop-in replacement for ans.model.build_model producing the identical
     model, with the heavy per-candidate scaling/cost sweep on the device."""
     with jax.enable_x64(True):
-        return _build_model_jax_x64(histograms)
+        return _build_model_jax_x64(histograms, max_frame_log2)
 
 
-def _build_model_jax_x64(histograms: list[Histogram]) -> ANSModel:
+def _build_model_jax_x64(histograms: list[Histogram],
+                         max_frame_log2: int = 16) -> ANSModel:
     original_costs = []
     totals = []
     for syms, counts in histograms:
@@ -69,7 +71,8 @@ def _build_model_jax_x64(histograms: list[Histogram]) -> ANSModel:
     original_graph_cost = float(sum(original_costs))
 
     C = len(PARAMS_COMBINATIONS)
-    frame_exps = np.arange(0, 17)  # m = 2^0 .. 2^16
+    frame_exps = np.arange(0, max_frame_log2 + 1)
+    max_frame = 1 << max_frame_log2
     components: list[ComponentModel] = []
 
     for comp in range(NUM_COMPONENTS):
@@ -129,7 +132,9 @@ def _build_model_jax_x64(histograms: list[Histogram]) -> ANSModel:
         best_frame = None
         lowest_cost = math.inf
         for ci in range(C):
-            for e in range(int(m0_exp[ci]), 17):
+            for e in range(int(m0_exp[ci]), max_frame_log2 + 1):
+                if (ci, e) not in lane_of:
+                    break  # this combo needs a frame beyond the cap
                 li = lane_of[(ci, e)]
                 if not ok[li]:
                     continue
@@ -145,7 +150,7 @@ def _build_model_jax_x64(histograms: list[Histogram]) -> ANSModel:
                         lowest_cost = new_cost
                         best = li
                         best_frame = m
-                elif m == MAXIMUM_FRAME_SIZE:
+                elif m == max_frame:
                     if new_cost >= lowest_cost:
                         break
                     lowest_cost = new_cost

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from ..bvgraph.graph import Adjacency
 from .graph_decode import TpuGraphDecoder
-from .decode_jax import decode_blocks, seed_rings
+from .decode_jax import UNROLL, decode_blocks, seed_rings
 from .reconstruct_jax import reconstruct
 
 
@@ -49,8 +49,9 @@ class TpuRandomAccess:
                               starts, W)
         else:
             ring = jnp.zeros((L, 1), jnp.int32)
+        cap = -(-cap // UNROLL) * UNROLL
         while True:
-            vals, comps, counts, ok = decode_blocks(
+            out, counts, ok = decode_blocks(
                 d.params, d.tables,
                 jnp.asarray(host_states[nodes]),
                 jnp.asarray(host_ptrs[nodes]),
@@ -58,7 +59,14 @@ class TpuRandomAccess:
             if bool(np.all(np.asarray(ok))):
                 break
             cap *= 2
-        return np.asarray(vals).T, np.asarray(comps).T, np.asarray(counts)
+        out = np.asarray(out)
+        counts = np.asarray(counts)
+        vals2d = out[:cap].T                      # [L, cap]
+        cpk = out[cap:]
+        steps = np.arange(cap)
+        comps2d = ((cpk[steps // UNROLL, :] >> ((steps % UNROLL) * 4)[:, None])
+                   & 0xF).astype(np.uint8).T     # [L, cap]
+        return vals2d, comps2d, counts
 
     def successors_batch(self, query_nodes, cap: int = 512) -> Adjacency:
         query = np.asarray(query_nodes, dtype=np.int64)

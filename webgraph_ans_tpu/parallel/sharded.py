@@ -27,7 +27,8 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
-from ..ops.decode_jax import DecoderTables, decode_blocks, seed_rings
+from ..ops.decode_jax import (UNROLL, DecoderTables, decode_blocks,
+                              seed_rings)
 
 
 def make_mesh(n_devices: int | None = None, axis: str = "blocks") -> Mesh:
@@ -50,7 +51,7 @@ def sharded_decode_blocks(mesh: Mesh, params, tables: DecoderTables,
     @functools.partial(
         shard_map, mesh=mesh,
         in_specs=(rep, lane, lane, lane, lane, lane),
-        out_specs=(P(None, axis), P(None, axis), lane, lane),
+        out_specs=(P(None, axis), lane, lane),
         check_vma=False)
     def run(tables_, states_, ptrs_, starts_, ends_, ring_):
         return decode_blocks(params, tables_, states_, ptrs_,
@@ -132,8 +133,10 @@ class ShardedGraphDecoder:
         if cap is None:
             est = (2 * s.num_arcs + 3 * s.num_nodes) // max(num_lanes, 1)
             cap = max(64, int(est * 1.3))
+        cap = -(-cap // UNROLL) * UNROLL
+        from ..ops.decode_jax import unpack_block_tokens
         while True:
-            vals, comps, counts, ok = sharded_decode_blocks(
+            out, counts, ok = sharded_decode_blocks(
                 self.mesh, s.params, s.tables,
                 jnp.asarray(host_states[starts]),
                 jnp.asarray(host_ptrs[starts]),
@@ -142,9 +145,4 @@ class ShardedGraphDecoder:
             if bool(np.all(np.asarray(ok))):
                 break
             cap *= 2
-        vals = np.asarray(vals).T
-        comps = np.asarray(comps).T
-        counts = np.asarray(counts)
-        out_v = np.concatenate([vals[l, : counts[l]] for l in range(num_lanes)])
-        out_c = np.concatenate([comps[l, : counts[l]] for l in range(num_lanes)])
-        return out_v, out_c
+        return unpack_block_tokens(np.asarray(out), np.asarray(counts), cap)
