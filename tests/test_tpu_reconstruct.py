@@ -70,3 +70,18 @@ def test_reconstruct_deep_ref_chains():
 def test_reconstruct_cnr2000(cnr2000):
     adj, _ = cnr2000
     _roundtrip_tpu(adj, num_lanes=256)
+
+
+@pytest.mark.slow
+def test_reconstruct_cnr2000_high_compression(cnr2000):
+    """High-compression mode (reference: -w 16 -c 2000000000, script.py:24):
+    unbounded reference chains exercise the deep-chain reconstruction path."""
+    adj, _ = cnr2000
+    res = compress_adjacency(adj, compression_window=16,
+                             max_ref_count=2_000_000_000,
+                             min_interval_length=4)
+    g = ANSBvGraph(res.prelude, res.states, res.pointers)
+    dec = TpuGraphDecoder(g)
+    vals, comps = dec.decode_tokens(num_lanes=64)
+    offsets, succs = reconstruct(vals, comps, adj.num_nodes, 4)
+    assert Adjacency(offsets, succs).to_lists() == adj.to_lists()

@@ -228,29 +228,53 @@ def reconstruct(values: np.ndarray, comps: np.ndarray, num_nodes: int,
         cop_src = offsets[parent_local[cop_node]] + cop_refpos
         cop_depth = depth[cop_node]
 
-    # ---- device rounds: gather copied values, re-sort all segments ----
-    succs_j = jnp.asarray(succs.astype(np.int32))
-    seg_j = jnp.asarray(seg_of_slot.astype(np.int32))
-
-    @jax.jit
-    def sort_segments(s):
-        _, s2 = jax.lax.sort((seg_j, s), num_keys=2)
-        return s2
-
-    succs_j = sort_segments(succs_j)  # depth-0 nodes fully resolved
-    if E_cop:
-        cop_slot_j = jnp.asarray(cop_slot.astype(np.int32))
-        cop_src_j = jnp.asarray(cop_src.astype(np.int32))
-        cop_depth_j = jnp.asarray(cop_depth.astype(np.int32))
+    if max_depth <= 8:
+        # ---- device rounds: gather copied values, re-sort all segments
+        # (chain depth is bounded by max_ref_count; the default 3 gives a
+        # handful of gather+sort rounds) ----
+        succs_j = jnp.asarray(succs.astype(np.int32))
+        seg_j = jnp.asarray(seg_of_slot.astype(np.int32))
 
         @jax.jit
-        def fill_round(s, k):
-            take = cop_depth_j == k
-            vals = jnp.where(take, s[cop_src_j], s[cop_slot_j])
-            return s.at[cop_slot_j].set(vals)
+        def sort_segments(s):
+            _, s2 = jax.lax.sort((seg_j, s), num_keys=2)
+            return s2
 
-        for k in range(1, max_depth + 1):
-            succs_j = fill_round(succs_j, jnp.int32(k))
-            succs_j = sort_segments(succs_j)
+        succs_j = sort_segments(succs_j)  # depth-0 nodes fully resolved
+        if E_cop:
+            cop_slot_j = jnp.asarray(cop_slot.astype(np.int32))
+            cop_src_j = jnp.asarray(cop_src.astype(np.int32))
+            cop_depth_j = jnp.asarray(cop_depth.astype(np.int32))
 
-    return offsets.astype(np.uint64), np.asarray(succs_j).astype(np.uint32)
+            @jax.jit
+            def fill_round(s, k):
+                take = cop_depth_j == k
+                vals = jnp.where(take, s[cop_src_j], s[cop_slot_j])
+                return s.at[cop_slot_j].set(vals)
+
+            for k in range(1, max_depth + 1):
+                succs_j = fill_round(succs_j, jnp.int32(k))
+                succs_j = sort_segments(succs_j)
+
+        return offsets.astype(np.uint64), np.asarray(succs_j).astype(np.uint32)
+
+    # ---- deep-chain fallback (high-compression mode: max_ref_count is
+    # effectively unbounded, so chains can be thousands deep): per round,
+    # sort only that round's node segments on the host. Total work stays
+    # O(E log E) because each segment is sorted exactly once. ----
+    order0 = np.nonzero(depth[seg_of_slot] == 0)[0]
+    s0 = succs[order0]
+    seg0 = seg_of_slot[order0]
+    perm = np.lexsort((s0, seg0))
+    succs[order0] = s0[perm]
+    for k in range(1, max_depth + 1):
+        if E_cop:
+            sel = np.nonzero(cop_depth == k)[0]
+            if len(sel):
+                succs[cop_slot[sel]] = succs[cop_src[sel]]
+        slots_k = np.nonzero(depth[seg_of_slot] == k)[0]
+        sk = succs[slots_k]
+        segk = seg_of_slot[slots_k]
+        perm = np.lexsort((sk, segk))
+        succs[slots_k] = sk[perm]
+    return offsets.astype(np.uint64), succs.astype(np.uint32)
