@@ -1,0 +1,33 @@
+"""Multi-host shard decoding (run single-process; node ranges + closure
+logic are what multi-host execution exercises per shard)."""
+
+import numpy as np
+
+from webgraph_ans_tpu.bvgraph.graph import Adjacency
+from webgraph_ans_tpu.bvgraph.random_access import ANSBvGraph
+from webgraph_ans_tpu.bvgraph.store import compress_adjacency
+from webgraph_ans_tpu.parallel.multihost import MultihostGraphDecoder
+
+
+def test_shard_decode_matches_full():
+    rng = np.random.default_rng(77)
+    lists = []
+    for i in range(500):
+        dd = int(rng.integers(0, 14))
+        lists.append(sorted(rng.choice(500, size=dd, replace=False).tolist()))
+    adj = Adjacency.from_lists(lists)
+    res = compress_adjacency(adj, 7, 3, 2)
+    g = ANSBvGraph(res.prelude, res.states, res.pointers)
+
+    # single process: the "shard" is the whole graph
+    mh = MultihostGraphDecoder(g, lanes_per_host=16)
+    lo, hi, offsets, succs = mh.decode_shard()
+    assert (lo, hi) == (0, 500)
+    assert Adjacency(offsets, succs).to_lists() == lists
+    assert mh.total_arcs() == adj.num_arcs
+
+    # force a mid-graph shard to exercise the closure path
+    mh.node_lo, mh.node_hi = 200, 400
+    lo, hi, offsets, succs = mh.decode_shard()
+    got = Adjacency(offsets, succs).to_lists()
+    assert got == lists[200:400]

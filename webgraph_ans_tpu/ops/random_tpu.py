@@ -32,10 +32,16 @@ class TpuRandomAccess:
 
     def _decode_nodes(self, nodes: np.ndarray, cap: int):
         """Decodes the token streams of the given nodes (one lane each).
-        Returns (values, comps, counts) as numpy, rows in `nodes` order."""
+        Returns (values, comps, counts) as numpy, rows in `nodes` order.
+        Lane counts are padded to the next power of two (with repeats of
+        node 0) so wave decoding reuses a handful of compiled shapes."""
         d = self.dec
         W = d.window
-        L = len(nodes)
+        true_len = len(nodes)
+        L = 1 << max(true_len - 1, 1).bit_length()
+        if L > true_len:
+            nodes = np.concatenate(
+                [nodes, np.zeros(L - true_len, dtype=nodes.dtype)])
         starts = jnp.asarray(nodes.astype(np.int32))
         ends = starts + 1
         host_states = np.asarray(d.states)
@@ -66,7 +72,7 @@ class TpuRandomAccess:
         steps = np.arange(cap)
         comps2d = ((cpk[steps // UNROLL, :] >> ((steps % UNROLL) * 4)[:, None])
                    & 0xF).astype(np.uint8).T     # [L, cap]
-        return vals2d, comps2d, counts
+        return vals2d[:true_len], comps2d[:true_len], counts[:true_len]
 
     def successors_batch(self, query_nodes, cap: int = 512) -> Adjacency:
         query = np.asarray(query_nodes, dtype=np.int64)

@@ -1,0 +1,150 @@
+"""Multi-host scale-out (jax.distributed): node-range shards per host,
+decoder tables broadcast once, per-shard lane decoding on local chips,
+results gathered in node order.
+
+The reference is single-machine (SURVEY.md section 2.3); this implements the
+BASELINE multi-host design: the phase table makes node ranges independent,
+so host h owns nodes [h*n/H, (h+1)*n/H), loads the shared artifacts, and
+decodes its range with the same lane-parallel kernel used on one chip. The
+decode needs NO cross-host communication; only final statistics/gathers use
+collectives (jax.experimental.multihost_utils).
+
+Degenerates cleanly to a single process (tests run it that way); on a real
+pod slice call init_distributed() first on every process.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..bvgraph.random_access import ANSBvGraph
+from ..ops.graph_decode import TpuGraphDecoder
+from ..ops.decode_jax import UNROLL, decode_blocks, seed_rings, unpack_block_tokens
+from ..ops.reconstruct_jax import reconstruct
+
+
+def init_distributed(coordinator_address: str | None = None,
+                     num_processes: int | None = None,
+                     process_id: int | None = None) -> None:
+    """jax.distributed.initialize wrapper (no-op for a single process)."""
+    if num_processes in (None, 1):
+        return
+    jax.distributed.initialize(coordinator_address, num_processes, process_id)
+
+
+class MultihostGraphDecoder:
+    """Decodes the local host's node-range shard of an ANSBvGraph.
+
+    Every process loads the same basename (shared filesystem or a copy);
+    node ranges split by process_index. decode_shard() returns the local
+    CSR shard with its global node range — the production pattern keeps
+    results sharded; total_arcs() shows the cross-host collective path."""
+
+    def __init__(self, graph: ANSBvGraph, lanes_per_host: int = 4096):
+        self.g = graph
+        self.dec = TpuGraphDecoder(graph)
+        self.h = jax.process_index()
+        self.num_hosts = jax.process_count()
+        n = graph.num_nodes
+        self.node_lo = (self.h * n) // self.num_hosts
+        self.node_hi = ((self.h + 1) * n) // self.num_hosts
+        self.lanes = lanes_per_host
+
+    def _decode_range_tokens(self, lo: int, hi: int):
+        """Lane-parallel token decode of nodes [lo, hi)."""
+        d = self.dec
+        L = min(self.lanes, max(hi - lo, 1))
+        span = hi - lo
+        starts = (lo + (np.arange(L, dtype=np.int64) * span) // L).astype(np.int32)
+        ends = (lo + (np.arange(1, L + 1, dtype=np.int64) * span) // L).astype(np.int32)
+        W = d.window
+        hs, hp = np.asarray(d.states), np.asarray(d.pointers)
+        if W > 0:
+            pre = np.clip(starts[:, None] - W + np.arange(W)[None, :],
+                          0, d.num_nodes - 1)
+            ring = seed_rings(d.params, d.tables,
+                              jnp.asarray(hs[pre]), jnp.asarray(hp[pre]),
+                              jnp.asarray(starts), W)
+        else:
+            ring = jnp.zeros((L, 1), jnp.int32)
+        est = max((2 * d.num_arcs + 3 * d.num_nodes)
+                  // max(d.num_nodes, 1) * max(span // L, 1), 8)
+        cap = -(-int(est * 2 + 64) // UNROLL) * UNROLL
+        while True:
+            out, counts, ok = decode_blocks(
+                d.params, d.tables, jnp.asarray(hs[starts]),
+                jnp.asarray(hp[starts]), jnp.asarray(starts),
+                jnp.asarray(ends), ring, W, d.min_interval, cap)
+            if bool(np.all(np.asarray(ok))):
+                break
+            cap *= 2
+        return unpack_block_tokens(np.asarray(out), np.asarray(counts), cap)
+
+    def _closure_before(self, lo: int):
+        """Token streams of the reference closure preceding the shard:
+        nodes in [lo-window, lo) may be copied from by the shard, and they
+        may reference further back. Returns (sorted ids, {id: (vals,
+        comps)})."""
+        d = self.dec
+        from ..ops.random_tpu import TpuRandomAccess
+
+        ra = TpuRandomAccess(d)
+        need = list(range(max(lo - d.window, 0), lo))
+        done: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        guard = 0
+        while need:
+            arr = np.unique(np.array(need, dtype=np.int64))
+            vals2d, comps2d, counts = ra._decode_nodes(arr, 256)
+            nxt = []
+            for i, x in enumerate(arr):
+                v = vals2d[i, : counts[i]]
+                c = comps2d[i, : counts[i]]
+                done[int(x)] = (v, c)
+                if counts[i] >= 2 and c[1] == 1 and v[1] > 0:
+                    parent = int(x) - int(v[1])
+                    if parent not in done:
+                        nxt.append(parent)
+            need = [p for p in set(nxt) if p not in done]
+            guard += 1
+            if guard > 100000:
+                raise RuntimeError("shard closure did not converge")
+        return sorted(done), done
+
+    def decode_shard(self):
+        """Token-decodes and reconstructs the local node range. Returns
+        (node_lo, node_hi, offsets u64, succs u32) for nodes
+        [node_lo, node_hi)."""
+        d = self.dec
+        lo, hi = self.node_lo, self.node_hi
+        vals, comps = self._decode_range_tokens(lo, hi)
+        if lo == 0:
+            offsets, succs = reconstruct(vals, comps, hi - lo, d.min_interval)
+            return lo, hi, offsets, succs
+        pre_ids, pre_tok = self._closure_before(lo)
+        ids = np.concatenate([np.array(pre_ids, np.int64),
+                              np.arange(lo, hi, dtype=np.int64)])
+        vals = np.concatenate([np.concatenate(
+            [pre_tok[i][0] for i in pre_ids]).astype(vals.dtype), vals]) \
+            if pre_ids else vals
+        comps = np.concatenate([np.concatenate(
+            [pre_tok[i][1] for i in pre_ids]).astype(comps.dtype), comps]) \
+            if pre_ids else comps
+        offsets, succs = reconstruct(vals, comps, len(ids), d.min_interval,
+                                     node_ids=ids)
+        first = len(pre_ids)
+        base = int(offsets[first])
+        return lo, hi, (offsets[first:] - base).astype(np.uint64), succs[base:]
+
+    def total_arcs(self) -> int:
+        """Cross-host reduction of per-shard arc counts (allgather when
+        running distributed, local count otherwise)."""
+        _, _, _, succs = self.decode_shard()
+        if self.num_hosts == 1:
+            return len(succs)
+        from jax.experimental import multihost_utils
+
+        all_counts = multihost_utils.process_allgather(
+            jnp.asarray(np.array([len(succs)], np.int64)))
+        return int(np.asarray(all_counts).sum())
