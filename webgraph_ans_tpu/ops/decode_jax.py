@@ -477,24 +477,34 @@ def decode_blocks(params: CodecParams, tables: DecoderTables,
     return out, regs[R_OUTN], ok
 
 
-def unpack_block_tokens(out: np.ndarray, counts: np.ndarray, cap: int):
-    """Host-side unpack of decode_blocks output into forward-node-order
+def unpack_block_tokens(vals: np.ndarray, cpk: np.ndarray,
+                        counts: np.ndarray):
+    """Host-side unpack of decode_blocks output (value rows [rows, L] and
+    packed-nibble rows [ceil(rows/8), L]) into forward-node-order
     (values u32, comps u8) flat arrays. Rows whose component nibble is 0xF
     (finished-lane or past-the-end rows) are dropped; each lane contributes
     exactly counts[l] tokens in order."""
-    L = out.shape[1]
-    vals = out[:cap]                     # [cap, L]
-    cpk = out[cap:]                      # [cap//8, L]
-    steps = np.arange(cap)
+    rows = vals.shape[0]
+    steps = np.arange(rows)
     nib = (cpk[steps // UNROLL, :] >> ((steps % UNROLL) * 4)[:, None]) & 0xF
-    valid = nib <= 8                     # [cap, L]
+    valid = nib <= 8                     # [rows, L]
     # column-major flatten keeps each lane's rows contiguous and in order
     vmask = valid.T.ravel()
     flat_v = vals.T.ravel()[vmask]
     flat_c = nib.T.ravel()[vmask].astype(np.uint8)
     lane_counts = valid.sum(axis=0)
-    assert np.array_equal(lane_counts, counts), "bubble accounting mismatch"
+    assert np.array_equal(lane_counts, counts), "token accounting mismatch"
     return flat_v, flat_c
+
+
+def fetch_block_tokens(out, counts, cap: int):
+    """Fetches decode_blocks output to the host, trimming untouched rows
+    on the device first (row count rounded to 64 for compile-shape reuse)."""
+    counts_np = np.asarray(counts)
+    rows = min(cap, -(-max(int(counts_np.max()), 1) // 64) * 64)
+    vals = np.asarray(out[:rows])
+    cpk = np.asarray(out[cap: cap + -(-rows // UNROLL)])
+    return unpack_block_tokens(vals, cpk, counts_np)
 
 
 @functools.partial(jax.jit, static_argnames=("params", "window"))

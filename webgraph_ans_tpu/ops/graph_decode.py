@@ -14,7 +14,7 @@ import jax.numpy as jnp
 
 from ..bvgraph.random_access import ANSBvGraph
 from .decode_jax import (UNROLL, build_decoder_tables, decode_blocks,
-                         seed_rings, unpack_block_tokens)
+                         fetch_block_tokens, seed_rings)
 
 
 class TpuGraphDecoder:
@@ -94,4 +94,4 @@ class TpuGraphDecoder:
             if bool(np.all(np.asarray(ok))):
                 break
             cap *= 2
-        return unpack_block_tokens(np.asarray(out), np.asarray(counts), cap)
+        return fetch_block_tokens(out, counts, cap)

@@ -21,7 +21,8 @@ import jax.numpy as jnp
 
 from ..bvgraph.random_access import ANSBvGraph
 from ..ops.graph_decode import TpuGraphDecoder
-from ..ops.decode_jax import UNROLL, decode_blocks, seed_rings, unpack_block_tokens
+from ..ops.decode_jax import (UNROLL, decode_blocks, fetch_block_tokens,
+                              seed_rings)
 from ..ops.reconstruct_jax import reconstruct
 
 
@@ -80,7 +81,7 @@ class MultihostGraphDecoder:
             if bool(np.all(np.asarray(ok))):
                 break
             cap *= 2
-        return unpack_block_tokens(np.asarray(out), np.asarray(counts), cap)
+        return fetch_block_tokens(out, counts, cap)
 
     def _closure_before(self, lo: int):
         """Token streams of the reference closure preceding the shard:

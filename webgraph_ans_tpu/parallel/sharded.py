@@ -134,7 +134,7 @@ class ShardedGraphDecoder:
             est = (2 * s.num_arcs + 3 * s.num_nodes) // max(num_lanes, 1)
             cap = max(64, int(est * 1.3))
         cap = -(-cap // UNROLL) * UNROLL
-        from ..ops.decode_jax import unpack_block_tokens
+        from ..ops.decode_jax import fetch_block_tokens
         while True:
             out, counts, ok = sharded_decode_blocks(
                 self.mesh, s.params, s.tables,
@@ -145,4 +145,4 @@ class ShardedGraphDecoder:
             if bool(np.all(np.asarray(ok))):
                 break
             cap *= 2
-        return unpack_block_tokens(np.asarray(out), np.asarray(counts), cap)
+        return fetch_block_tokens(out, counts, cap)
