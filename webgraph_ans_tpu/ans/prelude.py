@@ -38,14 +38,20 @@ class Prelude:
     num_arcs: int
     compression_window: int
     min_interval_length: int
+    # Block-parallel encode entry table (None for serial single-state
+    # encodes): (start_nodes u32[B], entry_states u32[B], entry_ptrs u64[B]).
+    # Each block's stream region decodes independently starting from its
+    # entry (state, pointer); boundaries are reference-safe.
+    blocks: tuple | None = None
 
     # ---- .ans ----
     def to_bytes(self) -> bytes:
+        version = 2 if self.blocks is not None else 1
         parts = [ANS_MAGIC]
         parts.append(
             struct.pack(
                 "<IQQIIIQ",
-                1,
+                version,
                 self.num_nodes,
                 self.num_arcs,
                 self.compression_window,
@@ -58,6 +64,12 @@ class Prelude:
             parts.append(struct.pack("<IIII", c.log_m, c.radix, c.fidelity, len(c.freqs)))
         for c in self.model.components:
             parts.append(np.ascontiguousarray(c.freqs, dtype="<u2").tobytes())
+        if version == 2:
+            starts, bstates, bptrs = self.blocks
+            parts.append(struct.pack("<I", len(starts)))
+            parts.append(np.ascontiguousarray(starts, dtype="<u4").tobytes())
+            parts.append(np.ascontiguousarray(bstates, dtype="<u4").tobytes())
+            parts.append(np.ascontiguousarray(bptrs, dtype="<u8").tobytes())
         parts.append(np.ascontiguousarray(self.stream, dtype="<u2").tobytes())
         return b"".join(parts)
 
@@ -69,7 +81,7 @@ class Prelude:
         version, nodes, arcs, window, min_int, state, stream_len = struct.unpack_from(
             "<IQQIIIQ", data, off
         )
-        if version != 1:
+        if version not in (1, 2):
             raise ValueError(f"unsupported .ans version {version}")
         off += struct.calcsize("<IQQIIIQ")
         params = []
@@ -81,9 +93,21 @@ class Prelude:
             freqs = np.frombuffer(data, dtype="<u2", count=table_len, offset=off).copy()
             off += 2 * table_len
             components.append(ComponentModel(freqs, log_m, radix, fidelity))
+        blocks = None
+        if version == 2:
+            (nb,) = struct.unpack_from("<I", data, off)
+            off += 4
+            starts = np.frombuffer(data, dtype="<u4", count=nb, offset=off).copy()
+            off += 4 * nb
+            bstates = np.frombuffer(data, dtype="<u4", count=nb, offset=off).copy()
+            off += 4 * nb
+            bptrs = np.frombuffer(data, dtype="<u8", count=nb, offset=off).copy()
+            off += 8 * nb
+            blocks = (starts, bstates, bptrs)
         stream = np.frombuffer(data, dtype="<u2", count=stream_len, offset=off).copy()
         return Prelude(
-            ANSModel(components), stream, state, nodes, arcs, window, min_int
+            ANSModel(components), stream, state, nodes, arcs, window, min_int,
+            blocks=blocks,
         )
 
     def save(self, basename: str) -> None:

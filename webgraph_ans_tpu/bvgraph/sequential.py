@@ -34,17 +34,50 @@ class ANSBvGraphSeq:
 
     def decode_all(self) -> Adjacency:
         """Full sequential scan on the host runtime (CPU baseline; the TPU
-        path lives in webgraph_ans_tpu.ops)."""
+        path lives in webgraph_ans_tpu.ops). Block-parallel-encoded files
+        decode per block from the prelude's block entry table (block
+        boundaries are reference-safe by construction, see
+        ops/encode_jax.py)."""
         p = self.prelude
         lib = native.get_lib()
         freqs, lens, log_m, radix, fidelity = p.model.packed()
         stream = np.ascontiguousarray(p.stream, dtype=np.uint16)
+
+        if p.blocks is not None and len(p.blocks[0]) > 1:
+            starts, bstates, bptrs = p.blocks
+            bounds = list(starts) + [p.num_nodes]
+            parts = []
+            for b in range(len(starts)):
+                parts.append(self._decode_range(
+                    lib, stream, freqs, lens, log_m, radix, fidelity,
+                    int(bptrs[b]), int(bstates[b]), int(bounds[b]),
+                    int(bounds[b + 1]) - int(bounds[b])))
+            offsets = np.zeros(p.num_nodes + 1, np.uint64)
+            pos = 1
+            acc = 0
+            for off, _ in parts:
+                k = len(off) - 1
+                offsets[pos:pos + k] = off[1:] + acc
+                acc += int(off[-1])
+                pos += k
+            succs = np.concatenate([s for _, s in parts]) if parts else                 np.zeros(0, np.uint32)
+            return Adjacency(offsets, succs)
+
+        off, succs = self._decode_range(
+            lib, stream, freqs, lens, log_m, radix, fidelity,
+            len(stream), p.state, 0, p.num_nodes)
+        return Adjacency(off, succs)
+
+    def _decode_range(self, lib, stream, freqs, lens, log_m, radix, fidelity,
+                      entry_ptr, entry_state, first_node, n):
+        p = self.prelude
         h = native.check_ptr(
             lib.wgt_ans_decode_seq(
                 native.as_ptr(stream, ctypes.c_uint16),
-                len(stream),
-                p.state,
-                p.num_nodes,
+                entry_ptr,
+                entry_state,
+                first_node,
+                n,
                 p.compression_window,
                 p.min_interval_length,
                 native.as_ptr(freqs, ctypes.c_uint16),
@@ -54,8 +87,7 @@ class ANSBvGraphSeq:
                 native.as_ptr(fidelity, ctypes.c_uint32),
             )
         )
-        offsets, succs = native.fetch_adjacency(lib, h)
-        return Adjacency(offsets, succs)
+        return native.fetch_adjacency(lib, h)
 
     def __iter__(self):
         adj = self.decode_all()

@@ -144,7 +144,13 @@ def dump_tokens(adj: Adjacency, window: int, max_ref: int, min_interval: int,
 def compress_adjacency(adj: Adjacency, compression_window: int = 7,
                        max_ref_count: int = 3, min_interval_length: int = 2,
                        use_tpu_model_search: bool = False,
-                       max_frame_log2: int = 12) -> CompressionResult:
+                       max_frame_log2: int = 12,
+                       encode_blocks: int = 1) -> CompressionResult:
+    """encode_blocks > 1 runs pass 3's rANS encode lane-parallel on the
+    device (ops/encode_jax.py): the stream splits into that many
+    independent blocks at reference-safe node boundaries, recorded in the
+    prelude's block table. encode_blocks=1 is the serial native encode
+    (bit-identical to the reference pipeline)."""
     t0 = time.time()
     # Pass 1: bootstrap model with the log2 estimator.
     hist1 = _run_histogram_pass(
@@ -175,19 +181,31 @@ def compress_adjacency(adj: Adjacency, compression_window: int = 7,
     # Pass 3: encode with the pass-2 model; selection still driven by the
     # pass-1 estimator, exactly like the reference (random_access.rs:166-196).
     t2 = time.time()
-    stream, states, pointers, final_state = _run_encode_pass(
-        adj, compression_window, max_ref_count, min_interval_length, tables1, model2
-    )
+    blocks = None
+    if encode_blocks > 1:
+        from ..ops.encode_jax import lane_encode_tokens
+
+        vals, comps = dump_tokens(adj, compression_window, max_ref_count,
+                                  min_interval_length, tables1)
+        stream, states, pointers, final_state, blocks = lane_encode_tokens(
+            model2, vals, comps, num_blocks=encode_blocks,
+            window=compression_window)
+    else:
+        stream, states, pointers, final_state = _run_encode_pass(
+            adj, compression_window, max_ref_count, min_interval_length,
+            tables1, model2
+        )
     log.info("pass 3 (encode) in %.2fs", time.time() - t2)
 
     prelude = Prelude(
         model=model2,
-        stream=stream,
+        stream=np.ascontiguousarray(stream, dtype=np.uint16),
         state=final_state,
         num_nodes=adj.num_nodes,
         num_arcs=adj.num_arcs,
         compression_window=compression_window,
         min_interval_length=min_interval_length,
+        blocks=blocks,
     )
     return CompressionResult(prelude, states, pointers, model_report(model2, hist2), tables1)
 
@@ -195,7 +213,8 @@ def compress_adjacency(adj: Adjacency, compression_window: int = 7,
 def store(basename: str, new_basename: str, compression_window: int = 7,
           max_ref_count: int = 3, min_interval_length: int = 2,
           use_tpu_model_search: bool = False,
-          max_frame_log2: int = 12) -> CompressionResult:
+          max_frame_log2: int = 12,
+          encode_blocks: int = 1) -> CompressionResult:
     """Recompresses the BVGraph at `basename` into `new_basename.{ans,pointers,states}`
     (reference: ANSBvGraph::store, random_access.rs:91-222)."""
     adj, _props = load_bvgraph(basename)
@@ -203,6 +222,7 @@ def store(basename: str, new_basename: str, compression_window: int = 7,
         adj, compression_window, max_ref_count, min_interval_length,
         use_tpu_model_search=use_tpu_model_search,
         max_frame_log2=max_frame_log2,
+        encode_blocks=encode_blocks,
     )
     result.prelude.save(new_basename)
     save_states(new_basename, result.states)

@@ -26,6 +26,12 @@ def _add_compress_args(p):
                    help="minimum interval length (default 4; 0 disables intervals)")
     p.add_argument("--tpu-model-search", action="store_true",
                    help="run the (fidelity, radix) model grid search on the TPU")
+    p.add_argument("--max-frame-log2", type=int, default=12,
+                   help="cap ANS frame sizes at 2^k (16 = reference-exact; "
+                        "smaller = faster TPU decode, usually smaller files)")
+    p.add_argument("--encode-blocks", type=int, default=1,
+                   help="lane-parallel rANS encode with this many "
+                        "independent blocks on the device (1 = serial)")
 
 
 def main(argv=None):
@@ -61,7 +67,9 @@ def main(argv=None):
         res = store(args.basename, args.new_basename,
                     args.compression_window, args.max_ref_count,
                     args.min_interval_length,
-                    use_tpu_model_search=args.tpu_model_search)
+                    use_tpu_model_search=args.tpu_model_search,
+                    max_frame_log2=args.max_frame_log2,
+                    encode_blocks=args.encode_blocks)
         print(json.dumps({
             "seconds": round(time.time() - t0, 3),
             "nodes": res.prelude.num_nodes,

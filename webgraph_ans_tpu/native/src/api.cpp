@@ -269,7 +269,8 @@ void wgt_enc_free(void* h) { delete static_cast<EncResult*>(h); }
 // ANS sequential decode: full successor reconstruction.
 // ---------------------------------------------------------------------------
 void* wgt_ans_decode_seq(const uint16_t* stream, uint64_t stream_len,
-                         uint32_t final_state, uint64_t n, uint32_t window,
+                         uint32_t final_state, uint64_t first_node, uint64_t n,
+                         uint32_t window,
                          uint32_t min_interval, const uint16_t* model_freqs,
                          const uint64_t* model_lens, const uint32_t* model_log_m,
                          const uint32_t* model_radix,
@@ -285,7 +286,7 @@ void* wgt_ans_decode_seq(const uint16_t* stream, uint64_t stream_len,
   size_t ring = window + 1;
   std::vector<std::vector<uint64_t>> win(ring);
   std::vector<uint64_t> curr;
-  for (uint64_t x = 0; x < n; ++x) {
+  for (uint64_t x = first_node; x < first_node + n; ++x) {
     read_successors(
         dec, x, window, min_interval,
         [&](uint64_t node) -> const std::vector<uint64_t>& {

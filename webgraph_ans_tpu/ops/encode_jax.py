@@ -1,0 +1,396 @@
+"""TPU lane-parallel rANS encoding.
+
+The reference encodes with ONE serial encoder state over the reversed token
+stream (reference: src/ans/encoder.rs:39-86 driven by
+src/bvgraph/writers/bvgraph_encoder.rs:159-174). Here the token stream
+splits at node boundaries into independent blocks, one per lane; each lane
+runs the rANS encode loop (fold-push with renorm, division-free state
+update) over its reversed range, and the per-block streams concatenate in
+block order (last block first, matching the serial emission order). Every
+node still gets a phase (state, stream pointer), so all decode paths —
+lane-parallel sequential, random access — work unchanged; only the
+single-state continuity across block boundaries is given up (each block
+starts from the rANS lower bound, costing ~2 stream words per block).
+
+Division is the classic reciprocal multiply-shift (the reference benches
+exactly this in benches/benchmarks/fastdiv.rs but never integrates it; TPU
+has no integer divide, so here it is load-bearing): per folded symbol s,
+q = umulhi(state, M_s) >> sh_s with an exact-quotient correction step.
+
+Per-token work follows the measured TPU rules (see ops/decode_jax.py):
+one [T, 2]-row gather for (value, component), one [sym, 4]-row gather for
+the symbol's encode entry, a single packed register carry, emissions packed
+2-words-per-u32 into step-major rows.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ans.model import ANSModel
+
+B = 16
+LOWER_BOUND = np.uint32(1 << 16)
+MASK16 = np.uint32(0xFFFF)
+
+# Register rows.
+E_STATE, E_CUR, E_WCNT, E_DONE = range(4)
+ENREG = 4
+
+
+class EncoderTables(NamedTuple):
+    """Per-folded-symbol encode entries, all components concatenated:
+    row = [freq | cumul<<16, renorm upper bound, M (reciprocal magic),
+    shift]. Indexed by component offset + folded symbol."""
+
+    tab: jax.Array  # uint32 [entries, 4]
+
+
+def _magic(freq: int):
+    """Reciprocal magic for floor(x / freq) on x < 2^32 via
+    (umulhi(x, M)) >> sh, exact to within +1 (a runtime correction step
+    fixes the off-by-one; reference design study:
+    benches/benchmarks/fastdiv.rs)."""
+    if freq == 0:
+        return 0, 0
+    if freq == 1:
+        # umulhi(x, 2^32-1) = x - 1 for x >= 1; the correction adds it back
+        return 0xFFFFFFFF, 0
+    if freq & (freq - 1) == 0:
+        # power of two: umulhi(x, 2^31) = x >> 1, then shift the rest
+        return 0x80000000, freq.bit_length() - 2
+    l = freq.bit_length() - 1   # floor(log2(freq))
+    M = ((1 << (32 + l)) + freq - 1) // freq  # ceil(2^(32+l)/freq) < 2^32
+    assert M < 1 << 32
+    return M, l
+
+
+def build_encoder_tables(model: ANSModel):
+    """Host-side encode table build. Returns (EncoderTables, params) with
+    params = 9 x (offset, log_m, fold_threshold_log2ish...) static tuple:
+    (offset, log_m, radix, fidelity) per component plus [9]=max_folds."""
+    rows = []
+    params = []
+    base = 0
+    max_folds = 0
+    for c in model.components:
+        params.append((base, int(c.log_m), int(c.radix), int(c.fidelity)))
+        n = len(c.freqs)
+        if n == 0:
+            continue
+        freqs = c.freqs.astype(np.int64)
+        cumul = np.zeros(n, np.int64)
+        np.cumsum(freqs[:-1], out=cumul[1:])
+        k = 16 - c.log_m if c.log_m > 0 else 15
+        row = np.zeros((n, 4), np.uint32)
+        row[:, 0] = (freqs & 0xFFFF) | ((cumul & 0xFFFF) << 16)
+        row[:, 1] = ((1 << (k + B)) * freqs) & 0xFFFFFFFF
+        for s in range(n):
+            M, sh = _magic(int(freqs[s]))
+            row[s, 2] = M
+            row[s, 3] = sh
+        rows.append(row)
+        # folds for the largest symbol this table can represent
+        thr = c.folding_threshold
+        off = c.folding_offset
+        if n > thr:
+            max_folds = max(max_folds, int((n - 1 - thr) // off + 1))
+        base += n
+    tab = np.concatenate(rows) if rows else np.zeros((1, 4), np.uint32)
+    params.append(max_folds)
+    return EncoderTables(tab=jnp.asarray(tab)), tuple(params)
+
+
+def _enc_const(comp, params, field: int):
+    out = jnp.full(comp.shape, np.uint32(params[0][field]), jnp.uint32)
+    for c in range(1, 9):
+        out = jnp.where(comp == c, np.uint32(params[c][field]), out)
+    return out
+
+
+def _umulhi(a, b):
+    """High 32 bits of the u32 x u32 product, via 16-bit partials."""
+    a0 = a & MASK16
+    a1 = a >> np.uint32(16)
+    b0 = b & MASK16
+    b1 = b >> np.uint32(16)
+    p00 = a0 * b0
+    mid = a1 * b0 + (p00 >> np.uint32(16))       # < 2^32, no overflow
+    mid2 = a0 * b1 + (mid & MASK16)              # < 2^32
+    return a1 * b1 + (mid >> np.uint32(16)) + (mid2 >> np.uint32(16))
+
+
+# Emission slots per token: one optional renorm word per fold push plus one
+# before the rANS update. Words pack 2-per-u32; EMIT_PAIRS rows per step.
+def _emit_pairs(max_folds: int) -> int:
+    return (max_folds + 2) // 2
+
+
+@functools.partial(jax.jit, static_argnames=("params", "cap"))
+def encode_blocks(params, tables: EncoderTables, tokens, tstart, tend,
+                  cap: int):
+    """Lane-parallel rANS encode. Lane l encodes tokens
+    tokens[tstart[l] .. tend[l]-1] in REVERSE (LIFO), exactly like the
+    serial flush (reference: bvgraph_encoder.rs:159-174).
+
+    tokens: uint32 [T, 2] rows = (folded-input value, component).
+    Returns (emit [cap * EMIT_PAIRS + cap, L] u32, states [cap, L] u32,
+    counts...): see lane_encode_tokens for the host-side unpack. Layout:
+    rows [s*EP, (s+1)*EP) hold step s's emitted words packed 2-per-u32
+    low-word-first; row capEP + s holds {emit_count (8b) | is_outdeg (1b)
+    << 8 | wcnt_after (23b << 9)} per lane; states[s] = state after step s.
+    ok[l] when the lane finished within cap steps."""
+    max_folds = params[9]
+    EP = _emit_pairs(max_folds)
+    L = tstart.shape[0]
+    i32 = jnp.int32
+
+    regs = jnp.zeros((ENREG, L), i32)
+    regs = regs.at[E_STATE].set(
+        jax.lax.bitcast_convert_type(jnp.full((L,), LOWER_BOUND), i32))
+    regs = regs.at[E_CUR].set(tend.astype(i32))  # cursor: next index is cur-1
+    ends = tstart.astype(i32)
+    emit = jnp.zeros((cap * EP + cap, L), jnp.uint32)
+    states = jnp.zeros((cap, L), jnp.uint32)
+
+    def cond(carry):
+        step, regs, emit, states = carry
+        return (step < cap) & jnp.any(regs[E_CUR] > ends)
+
+    def body(carry):
+        step, regs, emit, states = carry
+        cur = regs[E_CUR]
+        active = cur > ends
+        idx = jnp.maximum(cur - 1, 0)
+        row = tokens[idx]                       # [L, 2] one row gather
+        sym_in = jnp.where(active, row[:, 0], 0)
+        comp = jnp.where(active, row[:, 1], 0)
+
+        offset = _enc_const(comp, params, 0)
+        log_m = _enc_const(comp, params, 1)
+        radix = _enc_const(comp, params, 2)
+        fidelity = _enc_const(comp, params, 3)
+        thr = jnp.uint32(1) << (fidelity + radix - jnp.uint32(1))
+        fold_off = ((jnp.uint32(1) << radix) - jnp.uint32(1)) * \
+            (jnp.uint32(1) << (fidelity - jnp.uint32(1)))
+        radix_mask = (jnp.uint32(1) << radix) - jnp.uint32(1)
+
+        state = jax.lax.bitcast_convert_type(regs[E_STATE], jnp.uint32)
+
+        # fold: number of radix chunks to push (reference: encoder.rs:44-58)
+        bl = jnp.uint32(32) - jax.lax.clz(jnp.maximum(sym_in, 1).astype(i32)) \
+            .astype(jnp.uint32)
+        folds = jnp.where(sym_in >= thr, (bl - fidelity) // radix, 0)
+
+        nemit = jnp.zeros((L,), jnp.uint32)
+        words = [jnp.zeros((L,), jnp.uint32) for _ in range(max_folds + 1)]
+        sym = sym_in
+        folds_left = folds
+        for _ in range(max_folds):
+            a = folds_left > 0
+            # renorm before push: emit 16 LSBs if the top radix bits are used
+            need = a & ((state >> (jnp.uint32(32) - radix)) != 0)
+            w = state & MASK16
+            for i in range(max_folds + 1):
+                words[i] = jnp.where(need & (nemit == i), w, words[i])
+            nemit = nemit + need.astype(jnp.uint32)
+            state = jnp.where(need, state >> np.uint32(B), state)
+            state = jnp.where(a, (state << radix) + (sym & radix_mask), state)
+            sym = jnp.where(a, sym >> radix, sym)
+            folds_left = folds_left - a.astype(folds_left.dtype)
+        sym = jnp.where(folds > 0, sym + fold_off * folds, sym_in)
+
+        erow = tables.tab[offset + sym]          # [L, 4] one row gather
+        fc = erow[:, 0]
+        freq = fc & MASK16
+        cumul = fc >> np.uint32(16)
+        upper = erow[:, 1]
+        M = erow[:, 2]
+        sh = erow[:, 3]
+
+        need = active & (state >= upper)
+        w = state & MASK16
+        for i in range(max_folds + 1):
+            words[i] = jnp.where(need & (nemit == i), w, words[i])
+        nemit = nemit + need.astype(jnp.uint32)
+        state = jnp.where(need, state >> np.uint32(B), state)
+
+        # division-free state update (reference math: encoder.rs:72-77)
+        q = _umulhi(state, M) >> sh
+        r = state - q * freq
+        fix_lo = (r.astype(i32) < 0)
+        q = jnp.where(fix_lo, q - 1, q)
+        r = jnp.where(fix_lo, r + freq, r)
+        fix_hi = r >= freq
+        q = jnp.where(fix_hi, q + 1, q)
+        r = jnp.where(fix_hi, r - freq, r)
+        new_state = (q << log_m) + cumul + r
+        state = jnp.where(active, new_state, state)
+
+        # write emissions (packed 2 words per u32, low word first)
+        for p in range(EP):
+            pair = words[2 * p]
+            if 2 * p + 1 <= max_folds:
+                pair = pair | (words[2 * p + 1] << np.uint32(16))
+            emit = emit.at[step * EP + p, :].set(
+                jnp.where(active, pair, 0))
+        wcnt = jax.lax.bitcast_convert_type(regs[E_WCNT], jnp.uint32) + \
+            jnp.where(active, nemit, 0)
+        is_out = active & (comp == 0)
+        meta = (jnp.where(active, nemit, jnp.uint32(0xFF))
+                | (is_out.astype(jnp.uint32) << np.uint32(8))
+                | (wcnt << np.uint32(9)))
+        emit = emit.at[cap * EP + step, :].set(meta)
+        states = states.at[step, :].set(state)
+
+        regs = jnp.stack([
+            jax.lax.bitcast_convert_type(state, i32),
+            jnp.where(active, cur - 1, cur),
+            jax.lax.bitcast_convert_type(wcnt, i32),
+            regs[E_DONE],
+        ], axis=0)
+        return step + 1, regs, emit, states
+
+    step, regs, emit, states = jax.lax.while_loop(
+        cond, body, (jnp.zeros((), i32), regs, emit, states))
+    ok = regs[E_CUR] <= ends
+    final_states = jax.lax.bitcast_convert_type(regs[E_STATE], jnp.uint32)
+    wtotals = jax.lax.bitcast_convert_type(regs[E_WCNT], jnp.uint32)
+    return emit, states, final_states, wtotals, ok
+
+
+def _safe_boundary_nodes(values, comps, window: int):
+    """Nodes where a block may start: no node in [x, x+window) references
+    back across x (so a per-block decoder needs no ring seed and the native
+    per-block sequential decode starts from an empty window). Node 0 is
+    always safe."""
+    is_out = comps == 0
+    node_of = np.cumsum(is_out) - 1
+    n = int(is_out.sum())
+    ref = np.zeros(n, np.int64)
+    m = comps == 1
+    ref[node_of[m]] = values[m]
+    x = np.arange(n)
+    reach = x - ref           # lowest node each node references (itself if 0)
+    # min of `reach` over the next `window` nodes (inclusive)
+    if window > 0:
+        mins = reach.copy()
+        for k in range(1, min(window, n)):
+            mins[:-k] = np.minimum(mins[:-k], reach[k:])
+    else:
+        mins = reach
+    return np.nonzero(mins >= x)[0]
+
+
+def lane_encode_tokens(model: ANSModel, values: np.ndarray,
+                       comps: np.ndarray, num_blocks: int = 512,
+                       window: int = 7):
+    """Host orchestration: encodes the forward-order token stream with
+    `num_blocks` independent lanes split at reference-safe node boundaries.
+    Returns (stream u16, states u32 reverse-node-order, pointers u64
+    reverse-node-order, final_state, blocks) — the same artifact contract
+    as the serial native encode (native/src/ans.hpp BufferSink::encode),
+    plus the prelude block entry table (start_nodes, entry_states,
+    entry_ptrs)."""
+    values = np.ascontiguousarray(values, dtype=np.uint64)
+    comps = np.ascontiguousarray(comps, dtype=np.uint8)
+    T = len(values)
+    if np.any(values >> 31):
+        raise ValueError("token values must fit in uint31 for the TPU encoder")
+
+    tables, params = build_encoder_tables(model)
+    max_folds = params[9]
+    EP = _emit_pairs(max_folds)
+
+    # block boundaries at reference-safe node starts, balanced by tokens
+    node_starts = np.nonzero(comps == 0)[0]
+    n_nodes = len(node_starts)
+    safe = _safe_boundary_nodes(values, comps, window)
+    Bn = min(num_blocks, max(len(safe), 1))
+    targets = (np.arange(Bn, dtype=np.int64) * n_nodes) // max(Bn, 1)
+    picks = safe[np.minimum(np.searchsorted(safe, targets), len(safe) - 1)]         if len(safe) else np.zeros(1, np.int64)
+    picks = np.unique(picks)
+    block_nodes = picks.astype(np.int64)
+    tstart = node_starts[block_nodes].astype(np.int32) if n_nodes else np.zeros(1, np.int32)
+    tend = np.empty_like(tstart)
+    tend[:-1] = tstart[1:]
+    tend[-1] = T
+
+    tokens = np.stack([values.astype(np.uint32),
+                       comps.astype(np.uint32)], axis=1)
+    cap = int((tend - tstart).max()) if len(tstart) else 1
+    cap = max(cap, 1)
+
+    emit, states, final_states, wtotals, ok = encode_blocks(
+        params, tables, jnp.asarray(tokens), jnp.asarray(tstart),
+        jnp.asarray(tend), cap)
+    assert bool(np.asarray(ok).all())
+    emit = np.asarray(emit)
+    states = np.asarray(states)
+    final_states = np.asarray(final_states)
+    wtotals = np.asarray(wtotals).astype(np.int64)
+
+    meta = emit[cap * EP:]                       # [cap, Bn]
+    nemit = meta & 0xFF
+    is_out = (meta >> 8) & 1
+    wcnt_after = (meta >> 9).astype(np.int64)
+    steps_per_lane = (tend - tstart).astype(np.int64)
+
+    # per-lane stream assembly + phases
+    lane_streams = []
+    lane_phase_states = []
+    lane_phase_wcnt = []
+    step_idx = np.arange(cap)
+    for l in range(len(tstart)):
+        s = int(steps_per_lane[l])
+        ne = nemit[:s, l]
+        # unpack this lane's emitted words in step order
+        total = int(ne.sum())
+        words = np.zeros(total, np.uint16)
+        pos = np.zeros(s + 1, np.int64)
+        np.cumsum(ne, out=pos[1:])
+        for p in range(EP):
+            pairs = emit[step_idx[:s] * EP + p, l]
+            w0 = (pairs & 0xFFFF).astype(np.uint16)
+            w1 = (pairs >> 16).astype(np.uint16)
+            m0 = ne > 2 * p
+            words[pos[:-1][m0] + 2 * p] = w0[m0]
+            m1 = ne > 2 * p + 1
+            words[pos[:-1][m1] + 2 * p + 1] = w1[m1]
+        lane_streams.append(words)
+        sel = is_out[:s, l].astype(bool)
+        lane_phase_states.append(states[:s, l][sel])
+        lane_phase_wcnt.append(wcnt_after[:s, l][sel])
+
+    # global order: serial emission processes the LAST block first
+    order = np.arange(len(tstart))[::-1]
+    offsets = np.zeros(len(tstart), np.int64)  # word offset of each lane
+    acc = 0
+    for l in order:
+        offsets[l] = acc
+        acc += len(lane_streams[l])
+    stream = np.concatenate([lane_streams[l] for l in order]) if acc else \
+        np.zeros(0, np.uint16)
+
+    # phases: lane l's nodes appear (within the lane) in reverse node order
+    # already (tokens consumed in reverse); global reverse node order =
+    # lanes from last to first
+    st_parts, ptr_parts = [], []
+    for l in order:  # last lane first = reverse global node order
+        st_parts.append(lane_phase_states[l])
+        ptr_parts.append(lane_phase_wcnt[l] + offsets[l])
+    states_out = np.concatenate(st_parts) if st_parts else np.zeros(0, np.uint32)
+    pointers_out = np.concatenate(ptr_parts).astype(np.uint64) if ptr_parts \
+        else np.zeros(0, np.uint64)
+    final_state = int(final_states[0]) if len(tstart) else int(LOWER_BOUND)
+    blocks = (block_nodes.astype(np.uint32),
+              final_states.astype(np.uint32),
+              (offsets + np.array([len(w) for w in lane_streams],
+                                  np.int64)).astype(np.uint64))
+    return (stream, states_out.astype(np.uint32), pointers_out, final_state,
+            blocks)

@@ -50,6 +50,12 @@ class TpuGraphDecoder:
         starts[0] = 0
         starts = np.minimum(starts, n - 1)
         starts = np.maximum.accumulate(starts)
+        # block-parallel-encoded files: a decode lane must not cross an
+        # encode-block boundary (the rANS state resets there), so the
+        # boundary set is unioned in
+        if self.graph.prelude.blocks is not None:
+            bstarts = np.asarray(self.graph.prelude.blocks[0], np.int64)
+            starts = np.unique(np.concatenate([starts, bstarts]))
         ends = np.empty_like(starts)
         ends[:-1] = starts[1:]
         ends[-1] = n

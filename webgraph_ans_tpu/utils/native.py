@@ -75,7 +75,7 @@ def _declare(lib: ctypes.CDLL) -> None:
         "wgt_enc_get_pointers": ([void_p, u64p], None),
         "wgt_enc_free": ([void_p], None),
         "wgt_ans_decode_seq": (
-            [u16p, u64, u32, u64, u32, u32, u16p, u64p, u32p, u32p, u32p], void_p),
+            [u16p, u64, u32, u64, u64, u32, u32, u16p, u64p, u32p, u32p, u32p], void_p),
         "wgt_ans_decode_random": (
             [u16p, u64, u32p, u64p, u64, u32, u32,
              u16p, u64p, u32p, u32p, u32p, u64p, u64], void_p),
