@@ -336,61 +336,39 @@ def lane_encode_tokens(model: ANSModel, values: np.ndarray,
     wtotals = np.asarray(wtotals).astype(np.int64)
 
     meta = emit[cap * EP:]                       # [cap, Bn]
-    nemit = meta & 0xFF
-    is_out = (meta >> 8) & 1
-    wcnt_after = (meta >> 9).astype(np.int64)
+    Bn = len(tstart)
     steps_per_lane = (tend - tstart).astype(np.int64)
+    live = np.arange(cap)[:, None] < steps_per_lane[None, :]  # [cap, Bn]
+    nemit = np.where(live, meta & 0xFF, 0).astype(np.int64)
+    is_out = live & (((meta >> 8) & 1).astype(bool))
+    wcnt_after = (meta >> 9).astype(np.int64)
 
-    # per-lane stream assembly + phases
-    lane_streams = []
-    lane_phase_states = []
-    lane_phase_wcnt = []
-    step_idx = np.arange(cap)
-    for l in range(len(tstart)):
-        s = int(steps_per_lane[l])
-        ne = nemit[:s, l]
-        # unpack this lane's emitted words in step order
-        total = int(ne.sum())
-        words = np.zeros(total, np.uint16)
-        pos = np.zeros(s + 1, np.int64)
-        np.cumsum(ne, out=pos[1:])
-        for p in range(EP):
-            pairs = emit[step_idx[:s] * EP + p, l]
-            w0 = (pairs & 0xFFFF).astype(np.uint16)
-            w1 = (pairs >> 16).astype(np.uint16)
-            m0 = ne > 2 * p
-            words[pos[:-1][m0] + 2 * p] = w0[m0]
-            m1 = ne > 2 * p + 1
-            words[pos[:-1][m1] + 2 * p + 1] = w1[m1]
-        lane_streams.append(words)
-        sel = is_out[:s, l].astype(bool)
-        lane_phase_states.append(states[:s, l][sel])
-        lane_phase_wcnt.append(wcnt_after[:s, l][sel])
-
+    # ---- fully vectorized stream assembly ----
     # global order: serial emission processes the LAST block first
-    order = np.arange(len(tstart))[::-1]
-    offsets = np.zeros(len(tstart), np.int64)  # word offset of each lane
-    acc = 0
-    for l in order:
-        offsets[l] = acc
-        acc += len(lane_streams[l])
-    stream = np.concatenate([lane_streams[l] for l in order]) if acc else \
-        np.zeros(0, np.uint16)
+    lane_totals = nemit.sum(axis=0)
+    offsets = np.zeros(Bn, np.int64)  # global word offset of each lane
+    offsets[:-1] = np.cumsum(lane_totals[::-1])[::-1][1:]
+    total_words = int(lane_totals.sum())
+    # destination of word j of step s in lane l:
+    #   offsets[l] + (exclusive cumsum of nemit over steps)[s, l] + j
+    pos = np.cumsum(nemit, axis=0) - nemit + offsets[None, :]
+    stream = np.zeros(total_words, np.uint16)
+    for p in range(EP):
+        pairs = emit[:cap * EP][p::EP]           # rows s*EP+p -> [cap, Bn]
+        m0 = nemit > 2 * p
+        stream[(pos + 2 * p)[m0]] = (pairs & 0xFFFF).astype(np.uint16)[m0]
+        m1 = nemit > 2 * p + 1
+        stream[(pos + 2 * p + 1)[m1]] = (pairs >> 16).astype(np.uint16)[m1]
 
-    # phases: lane l's nodes appear (within the lane) in reverse node order
-    # already (tokens consumed in reverse); global reverse node order =
-    # lanes from last to first
-    st_parts, ptr_parts = [], []
-    for l in order:  # last lane first = reverse global node order
-        st_parts.append(lane_phase_states[l])
-        ptr_parts.append(lane_phase_wcnt[l] + offsets[l])
-    states_out = np.concatenate(st_parts) if st_parts else np.zeros(0, np.uint32)
-    pointers_out = np.concatenate(ptr_parts).astype(np.uint64) if ptr_parts \
-        else np.zeros(0, np.uint64)
+    # ---- phases (reverse global node order = lanes last-to-first, steps
+    # ascending within each lane) ----
+    sel = is_out[:, ::-1].T                      # [Bn(desc), cap]
+    states_out = states[:, ::-1].T[sel]
+    pointers_out = (wcnt_after + offsets[None, :])[:, ::-1].T[sel] \
+        .astype(np.uint64)
     final_state = int(final_states[0]) if len(tstart) else int(LOWER_BOUND)
     blocks = (block_nodes.astype(np.uint32),
               final_states.astype(np.uint32),
-              (offsets + np.array([len(w) for w in lane_streams],
-                                  np.int64)).astype(np.uint64))
+              (offsets + lane_totals).astype(np.uint64))
     return (stream, states_out.astype(np.uint32), pointers_out, final_state,
             blocks)
