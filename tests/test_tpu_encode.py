@@ -87,3 +87,11 @@ def test_cnr2000_parallel_encode(cnr2000):
     assert np.array_equal(succs, adj.succs)
     seq = ANSBvGraphSeq(res.prelude).decode_all()
     assert np.array_equal(seq.succs, adj.succs)
+
+
+def test_parallel_encode_edge_graphs():
+    for lists in ([[]], [[], [], []], [[1], [], [0, 2]]):
+        adj = Adjacency.from_lists(lists)
+        res = compress_adjacency(adj, 7, 3, 2, encode_blocks=4)
+        seq = ANSBvGraphSeq(res.prelude).decode_all()
+        assert seq.to_lists() == lists
