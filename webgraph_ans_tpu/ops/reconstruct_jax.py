@@ -231,32 +231,48 @@ def reconstruct(values: np.ndarray, comps: np.ndarray, num_nodes: int,
     if max_depth <= 8:
         # ---- device rounds: gather copied values, re-sort all segments
         # (chain depth is bounded by max_ref_count; the default 3 gives a
-        # handful of gather+sort rounds) ----
-        succs_j = jnp.asarray(succs.astype(np.int32))
-        seg_j = jnp.asarray(seg_of_slot.astype(np.int32))
+        # handful of gather+sort rounds). Arrays pad to a power-of-two
+        # length (sentinel segment sorts last) so the jitted sorts reuse a
+        # handful of compiled shapes across graphs. ----
+        Epad = max(1 << (max(E - 1, 1)).bit_length(), 16)
+        succs_p = np.zeros(Epad, np.int32)
+        succs_p[:E] = succs.astype(np.int32)
+        seg_p = np.full(Epad, n, np.int32)
+        seg_p[:E] = seg_of_slot.astype(np.int32)
+        succs_j = jnp.asarray(succs_p)
+        seg_j = jnp.asarray(seg_p)
 
         @jax.jit
-        def sort_segments(s):
-            _, s2 = jax.lax.sort((seg_j, s), num_keys=2)
+        def sort_segments(seg, s):
+            _, s2 = jax.lax.sort((seg, s), num_keys=2)
             return s2
 
-        succs_j = sort_segments(succs_j)  # depth-0 nodes fully resolved
+        succs_j = sort_segments(seg_j, succs_j)  # depth-0 nodes resolved
         if E_cop:
-            cop_slot_j = jnp.asarray(cop_slot.astype(np.int32))
-            cop_src_j = jnp.asarray(cop_src.astype(np.int32))
-            cop_depth_j = jnp.asarray(cop_depth.astype(np.int32))
+            Cpad = max(1 << (max(E_cop - 1, 1)).bit_length(), 16)
+            cs = np.full(Cpad, Epad - 1, np.int32)
+            cs[:E_cop] = cop_slot.astype(np.int32)
+            cr = np.full(Cpad, Epad - 1, np.int32)
+            cr[:E_cop] = cop_src.astype(np.int32)
+            cd = np.full(Cpad, -1, np.int32)
+            cd[:E_cop] = cop_depth.astype(np.int32)
+            cop_slot_j = jnp.asarray(cs)
+            cop_src_j = jnp.asarray(cr)
+            cop_depth_j = jnp.asarray(cd)
 
             @jax.jit
-            def fill_round(s, k):
-                take = cop_depth_j == k
-                vals = jnp.where(take, s[cop_src_j], s[cop_slot_j])
-                return s.at[cop_slot_j].set(vals)
+            def fill_round(s, cslot, csrc, cdepth, k):
+                take = cdepth == k
+                vals = jnp.where(take, s[csrc], s[cslot])
+                return s.at[cslot].set(vals)
 
             for k in range(1, max_depth + 1):
-                succs_j = fill_round(succs_j, jnp.int32(k))
-                succs_j = sort_segments(succs_j)
+                succs_j = fill_round(succs_j, cop_slot_j, cop_src_j,
+                                     cop_depth_j, jnp.int32(k))
+                succs_j = sort_segments(seg_j, succs_j)
 
-        return offsets.astype(np.uint64), np.asarray(succs_j).astype(np.uint32)
+        return (offsets.astype(np.uint64),
+                np.asarray(succs_j[:E]).astype(np.uint32))
 
     # ---- deep-chain fallback (high-compression mode: max_ref_count is
     # effectively unbounded, so chains can be thousands deep): per round,
