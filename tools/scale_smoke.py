@@ -1,3 +1,6 @@
+"""Scale smoke test: synthesize a ~1M-node power-law graph, compress, and
+time the TPU decode kernel (run on the real chip; see docs/ARCHITECTURE.md
+for context). Correctness at this scale is asserted via ok flags."""
 import time, numpy as np, jax, jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", "/tmp/wgt_jax_cache")
 from webgraph_ans_tpu.bvgraph.graph import Adjacency
