@@ -39,8 +39,8 @@ LOWER_BOUND = np.uint32(1 << 16)
 MASK16 = np.uint32(0xFFFF)
 
 # Register rows.
-E_STATE, E_CUR, E_WCNT, E_DONE = range(4)
-ENREG = 4
+E_STATE, E_CUR, E_WCNT = range(3)
+ENREG = 3
 
 
 class EncoderTables(NamedTuple):
@@ -252,7 +252,6 @@ def encode_blocks(params, tables: EncoderTables, tokens, tstart, tend,
             jax.lax.bitcast_convert_type(state, i32),
             jnp.where(active, cur - 1, cur),
             jax.lax.bitcast_convert_type(wcnt, i32),
-            regs[E_DONE],
         ], axis=0)
         return step + 1, regs, emit, states
 
@@ -333,7 +332,6 @@ def lane_encode_tokens(model: ANSModel, values: np.ndarray,
     emit = np.asarray(emit)
     states = np.asarray(states)
     final_states = np.asarray(final_states)
-    wtotals = np.asarray(wtotals).astype(np.int64)
 
     meta = emit[cap * EP:]                       # [cap, Bn]
     Bn = len(tstart)
