@@ -64,7 +64,7 @@ def main():
     # Serial CPU baseline (single-state decoder, the reference's design).
     seq = ANSBvGraphSeq(g.prelude)
     times = []
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.time()
         dec = seq.decode_all()
         times.append(time.time() - t0)
