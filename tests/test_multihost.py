@@ -31,3 +31,24 @@ def test_shard_decode_matches_full():
     lo, hi, offsets, succs = mh.decode_shard()
     got = Adjacency(offsets, succs).to_lists()
     assert got == lists[200:400]
+
+
+def test_shard_decode_block_encoded_file():
+    """ADVICE r01 (high): decode lanes must not cross encode-block
+    boundaries of block-parallel (prelude v2) files."""
+    rng = np.random.default_rng(99)
+    lists = []
+    for i in range(300):
+        dd = int(rng.integers(0, 10))
+        lists.append(sorted(rng.choice(300, size=dd, replace=False).tolist()))
+    adj = Adjacency.from_lists(lists)
+    res = compress_adjacency(adj, 7, 3, 2, encode_blocks=8)
+    g = ANSBvGraph(res.prelude, res.states, res.pointers)
+
+    mh = MultihostGraphDecoder(g, lanes_per_host=3)
+    lo, hi, offsets, succs = mh.decode_shard()
+    assert Adjacency(offsets, succs).to_lists() == lists
+
+    mh.node_lo, mh.node_hi = 100, 250
+    lo, hi, offsets, succs = mh.decode_shard()
+    assert Adjacency(offsets, succs).to_lists() == lists[100:250]

@@ -46,3 +46,21 @@ def test_sharded_decode_matches_serial():
 
     offsets, succs = reconstruct(got_v, got_c, adj.num_nodes, 2)
     assert Adjacency(offsets, succs).to_lists() == lists
+
+
+def test_sharded_decode_block_encoded_file():
+    """ADVICE r01 (medium): after encode-block starts are unioned into the
+    lane bounds, the lane count must stay divisible by the mesh (padded
+    with empty lanes)."""
+    rng = np.random.default_rng(13)
+    lists = []
+    for i in range(300):
+        dcur = int(rng.integers(0, 10))
+        lists.append(sorted(rng.choice(300, size=dcur, replace=False).tolist()))
+    adj = Adjacency.from_lists(lists)
+    res = compress_adjacency(adj, 7, 3, 2, encode_blocks=8)
+    g = ANSBvGraph(res.prelude, res.states, res.pointers)
+    dec = ShardedGraphDecoder(g, make_mesh(4))
+    got_v, got_c = dec.decode_tokens(lanes_per_device=4)
+    offsets, succs = reconstruct(got_v, got_c, adj.num_nodes, 2)
+    assert Adjacency(offsets, succs).to_lists() == lists

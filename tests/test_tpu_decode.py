@@ -14,6 +14,7 @@ from webgraph_ans_tpu.bvgraph.random_access import ANSBvGraph
 from webgraph_ans_tpu.bvgraph.store import compress_adjacency, dump_tokens
 from webgraph_ans_tpu.ops.decode_jax import build_decoder_tables, decode_token_plan
 from webgraph_ans_tpu.ops.graph_decode import TpuGraphDecoder
+from webgraph_ans_tpu.ops.reconstruct_jax import reconstruct
 
 from conftest import zipf_symbols
 
@@ -93,3 +94,20 @@ def test_tpu_tokens_random_graph():
 def test_tpu_tokens_cnr2000(cnr2000):
     adj, _ = cnr2000
     _assert_tpu_tokens_match(adj, num_lanes=256)
+
+
+def test_decode_window0_block_encoded_file():
+    """ADVICE r01 (medium): window=0 ring must size from the post-union
+    lane count, not the requested one."""
+    rng = np.random.default_rng(21)
+    lists = []
+    for i in range(300):
+        dd = int(rng.integers(0, 10))
+        lists.append(sorted(rng.choice(300, size=dd, replace=False).tolist()))
+    adj = Adjacency.from_lists(lists)
+    res = compress_adjacency(adj, 0, 0, 2, encode_blocks=8)
+    g = ANSBvGraph(res.prelude, res.states, res.pointers)
+    dec = TpuGraphDecoder(g)
+    vals, comps = dec.decode_tokens(num_lanes=16)
+    offsets, succs = reconstruct(vals, comps, adj.num_nodes, 2)
+    assert Adjacency(offsets, succs).to_lists() == lists

@@ -329,6 +329,13 @@ def lane_encode_tokens(model: ANSModel, values: np.ndarray,
         params, tables, jnp.asarray(tokens), jnp.asarray(tstart),
         jnp.asarray(tend), cap)
     assert bool(np.asarray(ok).all())
+    wtot = np.asarray(wtotals)
+    if len(wtot) and int(wtot.max()) >= (1 << 23):
+        # the per-step meta word packs the cumulative emitted word count
+        # into 23 bits (wcnt << 9); beyond that, phase pointers would wrap
+        raise ValueError(
+            "a lane emitted >= 2^23 stream words; use more encode blocks "
+            "(num_blocks) so per-lane output stays under 16 MiB")
     emit = np.asarray(emit)
     states = np.asarray(states)
     final_states = np.asarray(final_states)

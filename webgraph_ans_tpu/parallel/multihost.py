@@ -54,14 +54,17 @@ class MultihostGraphDecoder:
         self.lanes = lanes_per_host
 
     def _decode_range_tokens(self, lo: int, hi: int):
-        """Lane-parallel token decode of nodes [lo, hi)."""
+        """Lane-parallel token decode of nodes [lo, hi). Lane boundaries go
+        through TpuGraphDecoder._block_bounds so encode-block boundaries of
+        block-parallel (prelude v2) files are honored — a decode lane must
+        never cross an rANS state reset."""
         d = self.dec
         L = min(self.lanes, max(hi - lo, 1))
         span = hi - lo
-        starts = (lo + (np.arange(L, dtype=np.int64) * span) // L).astype(np.int32)
-        ends = (lo + (np.arange(1, L + 1, dtype=np.int64) * span) // L).astype(np.int32)
+        starts, ends = d._block_bounds(L, lo=lo, hi=hi)
         W = d.window
         hs, hp = np.asarray(d.states), np.asarray(d.pointers)
+        safe = np.minimum(starts, d.num_nodes - 1)
         if W > 0:
             pre = np.clip(starts[:, None] - W + np.arange(W)[None, :],
                           0, d.num_nodes - 1)
@@ -69,14 +72,14 @@ class MultihostGraphDecoder:
                               jnp.asarray(hs[pre]), jnp.asarray(hp[pre]),
                               jnp.asarray(starts), W)
         else:
-            ring = jnp.zeros((L, 1), jnp.int32)
+            ring = jnp.zeros((len(starts), 1), jnp.int32)
         est = max((2 * d.num_arcs + 3 * d.num_nodes)
-                  // max(d.num_nodes, 1) * max(span // L, 1), 8)
+                  // max(d.num_nodes, 1) * max(span // len(starts), 1), 8)
         cap = -(-int(est * 2 + 64) // UNROLL) * UNROLL
         while True:
             out, counts, ok = decode_blocks(
-                d.params, d.tables, jnp.asarray(hs[starts]),
-                jnp.asarray(hp[starts]), jnp.asarray(starts),
+                d.params, d.tables, jnp.asarray(hs[safe]),
+                jnp.asarray(hp[safe]), jnp.asarray(starts),
                 jnp.asarray(ends), ring, W, d.min_interval, cap)
             if bool(np.all(np.asarray(ok))):
                 break

@@ -114,10 +114,13 @@ class ShardedGraphDecoder:
         s = self.single
         n_dev = self.mesh.devices.size
         num_lanes = lanes_per_device * n_dev
-        starts, ends = s._block_bounds(num_lanes)
+        # pad_to keeps the lane count divisible by the mesh even after
+        # encode-block boundaries are unioned in (padded lanes are empty)
+        starts, ends = s._block_bounds(num_lanes, pad_to=n_dev)
         W = s.window
         host_states = np.asarray(s.states)
         host_ptrs = np.asarray(s.pointers)
+        safe = np.minimum(starts, s.num_nodes - 1)
 
         if W > 0:
             pre = starts[:, None] - W + np.arange(W)[None, :]
@@ -128,18 +131,18 @@ class ShardedGraphDecoder:
                 jnp.asarray(host_ptrs[pre_cl]),
                 jnp.asarray(starts), W)
         else:
-            ring = jnp.zeros((num_lanes, 1), jnp.int32)
+            ring = jnp.zeros((len(starts), 1), jnp.int32)
 
         if cap is None:
-            est = (2 * s.num_arcs + 3 * s.num_nodes) // max(num_lanes, 1)
+            est = (2 * s.num_arcs + 3 * s.num_nodes) // max(len(starts), 1)
             cap = max(64, int(est * 1.3))
         cap = -(-cap // UNROLL) * UNROLL
         from ..ops.decode_jax import fetch_block_tokens
         while True:
             out, counts, ok = sharded_decode_blocks(
                 self.mesh, s.params, s.tables,
-                jnp.asarray(host_states[starts]),
-                jnp.asarray(host_ptrs[starts]),
+                jnp.asarray(host_states[safe]),
+                jnp.asarray(host_ptrs[safe]),
                 jnp.asarray(starts), jnp.asarray(ends), ring,
                 W, s.min_interval, cap)
             if bool(np.all(np.asarray(ok))):
