@@ -40,7 +40,8 @@ def main():
     from webgraph_ans_tpu.bvgraph.sequential import ANSBvGraphSeq
     from webgraph_ans_tpu.bvgraph.store import store
     from webgraph_ans_tpu.ops.graph_decode import TpuGraphDecoder
-    from webgraph_ans_tpu.ops.decode_jax import UNROLL, decode_blocks, seed_rings
+    from webgraph_ans_tpu.ops.decode_jax import (decode_blocks, round_cap,
+                                                  seed_rings)
     from webgraph_ans_tpu.ops.reconstruct_jax import reconstruct
 
     log("jax devices:", jax.devices())
@@ -49,20 +50,32 @@ def main():
                         "tests", "data", "cnr-2000", "cnr-2000")
     out = os.path.join(tempfile.mkdtemp(prefix="wgt_bench_"), "cnr-2000")
 
+    # Two artifacts from the same 3-pass pipeline: the serial single-stream
+    # file (the reference's layout, optimal for the serial CPU decoder) and
+    # a block-parallel file (prelude v2: token-balanced independent rANS
+    # blocks, optimal for the lane-parallel TPU decoder). Each architecture
+    # is benchmarked on its own layout; both decode bit-exactly and the
+    # block file is the same size to within a few KB.
+    L = int(os.environ.get("WGT_BENCH_LANES", "4096"))
     t0 = time.time()
     store(base, out)
-    log(f"compress (3-pass) in {time.time() - t0:.2f}s")
+    store(base, out + "-blk", encode_blocks=L)
+    log(f"compress (2x 3-pass; serial + {L} encode blocks) "
+        f"in {time.time() - t0:.2f}s")
 
-    g = ANSBvGraph.load(out)
+    g_serial = ANSBvGraph.load(out)
+    g = ANSBvGraph.load(out + "-blk")
     arcs = g.num_arcs
-    ans_bytes = os.path.getsize(out + ".ans")
-    log(f".ans {ans_bytes} bytes = {ans_bytes * 8 / arcs:.3f} bits/link "
-        f"(BVGraph cnr-2000: 2.897)")
+    for tag, path in (("serial", out), ("block", out + "-blk")):
+        ab = os.path.getsize(path + ".ans")
+        log(f".ans ({tag}) {ab} bytes = {ab * 8 / arcs:.3f} bits/link "
+            f"(BVGraph cnr-2000: 2.897)")
 
     adj, _ = load_bvgraph(base)
 
-    # Serial CPU baseline (single-state decoder, the reference's design).
-    seq = ANSBvGraphSeq(g.prelude)
+    # Serial CPU baseline (single-state decoder, the reference's design),
+    # on the serial artifact.
+    seq = ANSBvGraphSeq(g_serial.prelude)
     times = []
     for _ in range(5):
         t0 = time.time()
@@ -74,7 +87,6 @@ def main():
 
     # TPU kernel: fixed shapes (cache-friendly), median of 5 steady runs.
     dec_tpu = TpuGraphDecoder(g)
-    L = int(os.environ.get("WGT_BENCH_LANES", "4096"))
     W = dec_tpu.window
     starts, ends = dec_tpu._block_bounds(L)
     hs, hp = np.asarray(dec_tpu.states), np.asarray(dec_tpu.pointers)
@@ -84,7 +96,7 @@ def main():
                       jnp.asarray(hs[pre]), jnp.asarray(hp[pre]),
                       jnp.asarray(starts), W)
     est = (2 * arcs + 3 * dec_tpu.num_nodes) // L
-    cap = -(-int(est * 1.3) // UNROLL) * UNROLL
+    cap = round_cap(dec_tpu.params, int(est * 1.3))
     args = (dec_tpu.params, dec_tpu.tables,
             jnp.asarray(hs[starts]), jnp.asarray(hp[starts]),
             jnp.asarray(starts), jnp.asarray(ends), ring,
@@ -102,22 +114,28 @@ def main():
         outb = decode_blocks(*args)
         jax.block_until_ready(outb)
         times.append(time.time() - t0)
-    tpu_ns = float(np.median(times)) / arcs * 1e9
+    kern_ns = float(np.median(times)) / arcs * 1e9
     log(f"TPU token-decode kernel: {np.median(times)*1e3:.1f} ms "
-        f"= {tpu_ns:.2f} ns/arc")
+        f"= {kern_ns:.2f} ns/arc")
 
-    # Bit-exactness + end-to-end (incl. host transfer + reconstruction);
-    # first call warms the reconstruction jits, second is steady state.
-    vals, comps = dec_tpu.decode_tokens(num_lanes=L, cap=cap)
-    offsets, succs = reconstruct(vals, comps, g.num_nodes,
-                                 g.prelude.min_interval_length)
-    assert np.array_equal(succs, adj.succs), "TPU decode not bit-exact"
+    # End-to-end DEVICE pipeline (token decode + successor reconstruction,
+    # no host transfer) — the honest counterpart of the CPU decode_all
+    # above. First call warms the jits and checks bit-exactness.
+    offsets_d, succs_d, E = dec_tpu.decode_to_csr_device(num_lanes=L, cap=cap)
+    jax.block_until_ready(succs_d)
+    assert np.array_equal(np.asarray(succs_d[:E]).astype(np.uint32),
+                          adj.succs), "TPU decode not bit-exact"
     log("bit-exact: True")
-    t0 = time.time()
-    vals, comps = dec_tpu.decode_tokens(num_lanes=L, cap=cap)
-    reconstruct(vals, comps, g.num_nodes, g.prelude.min_interval_length)
-    log(f"end-to-end decode+reconstruct (steady): {time.time() - t0:.2f}s "
-        f"= {(time.time() - t0) / arcs * 1e9:.0f} ns/arc")
+    times = []
+    for _ in range(5):
+        t0 = time.time()
+        offsets_d, succs_d, E = dec_tpu.decode_to_csr_device(
+            num_lanes=L, cap=cap)
+        jax.block_until_ready(succs_d)
+        times.append(time.time() - t0)
+    tpu_ns = float(np.median(times)) / arcs * 1e9
+    log(f"TPU end-to-end decode+reconstruct (device): "
+        f"{np.median(times)*1e3:.1f} ms = {tpu_ns:.2f} ns/arc")
 
     print(json.dumps({
         "metric": "cnr2000_seq_decode_ns_per_arc",

@@ -111,3 +111,40 @@ def test_decode_window0_block_encoded_file():
     vals, comps = dec.decode_tokens(num_lanes=16)
     offsets, succs = reconstruct(vals, comps, adj.num_nodes, 2)
     assert Adjacency(offsets, succs).to_lists() == lists
+
+
+def test_lane_bases_64bit_arithmetic():
+    """64-bit stream addressing (VERDICT r01 item 4): _lane_bases must
+    split u64 phase pointers into per-lane (row base, relative i32
+    pointer) with base*WORDS_PER_ROW + rel == ptr, rel >= 0, even when
+    pointers exceed 2^31 words (the int32 wrap the old path had).
+    Reference analog: the usize decoder pointer, src/ans/decoder.rs:41-53."""
+    from webgraph_ans_tpu.ops.decode_jax import ROW_SHIFT
+
+    rng = np.random.default_rng(3)
+    # fabricate a descending-pointer phase table far above 2^31
+    n = 1000
+    base_word = (1 << 33) + 12345
+    ptrs = base_word + np.sort(rng.integers(0, 1 << 20, n))[::-1].astype(np.int64)
+    ptrs = ptrs.astype(np.uint64)
+
+    dec = TpuGraphDecoder.__new__(TpuGraphDecoder)
+    dec.num_nodes = n
+    dec.pointers = np.asarray(ptrs, dtype=np.int64)
+
+    # sub-range decode (a multihost shard): the tail lane ends below n —
+    # a FULL-graph tail lane must consume down to word 0 and correctly
+    # raises "use more lanes" when that span exceeds 2^31 words
+    starts = np.array([0, 250, 500, 750, 1000], np.int64)
+    ends = np.array([250, 500, 750, 999, 1000], np.int64)  # last lane empty
+    base, rel = dec._lane_bases(starts, ends)
+    assert base.dtype == np.int32 and rel.dtype == np.int32
+    for l in range(4):
+        abs_ptr = (int(base[l]) << ROW_SHIFT) + int(rel[l])
+        assert abs_ptr == int(ptrs[starts[l]])
+        assert int(rel[l]) >= 0
+        # every pointer the lane touches stays addressable in i32
+        lane_ptrs = ptrs[starts[l]:ends[l]].astype(np.int64)
+        rels = lane_ptrs - (int(base[l]) << ROW_SHIFT)
+        assert rels.min() >= 0 and rels.max() < 1 << 31
+    assert base[4] == 0 and rel[4] == 0  # empty padding lane

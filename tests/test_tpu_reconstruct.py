@@ -85,3 +85,43 @@ def test_reconstruct_cnr2000_high_compression(cnr2000):
     vals, comps = dec.decode_tokens(num_lanes=64)
     offsets, succs = reconstruct(vals, comps, adj.num_nodes, 4)
     assert Adjacency(offsets, succs).to_lists() == adj.to_lists()
+
+
+def test_device_reconstruct_random_graph():
+    """Full device pipeline (decode_to_csr_device) matches the host path."""
+    from webgraph_ans_tpu.ops.graph_decode import TpuGraphDecoder
+
+    rng = np.random.default_rng(55)
+    lists = []
+    for i in range(600):
+        dd = int(rng.integers(0, 16))
+        lists.append(sorted(rng.choice(600, size=dd, replace=False).tolist()))
+    adj = Adjacency.from_lists(lists)
+    for blocks in (1, 8):
+        res = compress_adjacency(adj, 7, 3, 2, encode_blocks=blocks)
+        g = ANSBvGraph(res.prelude, res.states, res.pointers)
+        dec = TpuGraphDecoder(g)
+        offsets, succs, E = dec.decode_to_csr_device(num_lanes=16)
+        assert E == adj.num_arcs
+        got = Adjacency(np.asarray(offsets).astype(np.uint64),
+                        np.asarray(succs[:E]).astype(np.uint32))
+        assert got.to_lists() == lists
+
+
+def test_device_reconstruct_structured():
+    """Intervals + copy chains + residuals through the device parser."""
+    from webgraph_ans_tpu.ops.graph_decode import TpuGraphDecoder
+
+    lists = []
+    for i in range(200):
+        base = list(range(10, 10 + (i % 13)))           # interval-friendly
+        extra = [((i * 37 + k * 11) % 200) for k in range(i % 5)]
+        lists.append(sorted(set(base + extra)))
+    adj = Adjacency.from_lists(lists)
+    res = compress_adjacency(adj, 7, 3, 2)
+    g = ANSBvGraph(res.prelude, res.states, res.pointers)
+    dec = TpuGraphDecoder(g)
+    offsets, succs, E = dec.decode_to_csr_device(num_lanes=8)
+    got = Adjacency(np.asarray(offsets).astype(np.uint64),
+                    np.asarray(succs[:E]).astype(np.uint32))
+    assert got.to_lists() == lists

@@ -7,7 +7,7 @@ from webgraph_ans_tpu.bvgraph.graph import Adjacency
 from webgraph_ans_tpu.bvgraph.store import compress_adjacency
 from webgraph_ans_tpu.bvgraph.random_access import ANSBvGraph
 from webgraph_ans_tpu.ops.graph_decode import TpuGraphDecoder
-from webgraph_ans_tpu.ops.decode_jax import UNROLL, decode_blocks, seed_rings
+from webgraph_ans_tpu.ops.decode_jax import decode_blocks, round_cap, seed_rings
 
 rng = np.random.default_rng(42)
 n = 1_000_000
@@ -41,7 +41,7 @@ ring = seed_rings(dec.params, dec.tables, jnp.asarray(hs[pre]), jnp.asarray(hp[p
 jax.block_until_ready(ring)
 print(f"seed {time.time()-t0:.1f}s", flush=True)
 est = (2*adj.num_arcs + 3*n)//L
-cap = -(-int(est*1.3)//UNROLL)*UNROLL
+cap = round_cap(dec.params, int(est*1.3))
 args = (dec.params, dec.tables, jnp.asarray(hs[starts]), jnp.asarray(hp[starts]),
         jnp.asarray(starts), jnp.asarray(ends), ring, 7, 2)
 t0=time.time(); out = decode_blocks(*args, cap); jax.block_until_ready(out)

@@ -41,7 +41,9 @@ class Prelude:
     # Block-parallel encode entry table (None for serial single-state
     # encodes): (start_nodes u32[B], entry_states u32[B], entry_ptrs u64[B]).
     # Each block's stream region decodes independently starting from its
-    # entry (state, pointer); boundaries are reference-safe.
+    # entry (state, pointer); boundaries are token-balanced node starts
+    # (references may cross them — decoders seed context from phases or
+    # carry the window across blocks).
     blocks: tuple | None = None
 
     # ---- .ans ----
@@ -109,6 +111,10 @@ class Prelude:
             ANSModel(components), stream, state, nodes, arcs, window, min_int,
             blocks=blocks,
         )
+
+    def serialized_size(self) -> int:
+        """Byte size of the `.ans` artifact this prelude serializes to."""
+        return len(self.to_bytes())
 
     def save(self, basename: str) -> None:
         with open(basename + ".ans", "wb") as f:

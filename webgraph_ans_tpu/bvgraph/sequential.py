@@ -35,9 +35,10 @@ class ANSBvGraphSeq:
     def decode_all(self) -> Adjacency:
         """Full sequential scan on the host runtime (CPU baseline; the TPU
         path lives in webgraph_ans_tpu.ops). Block-parallel-encoded files
-        decode per block from the prelude's block entry table (block
-        boundaries are reference-safe by construction, see
-        ops/encode_jax.py)."""
+        decode in ONE native call that re-enters the stream at each
+        block's (state, pointer) while carrying the successor window
+        across blocks (block starts are token-balanced, not
+        reference-safe; see ops/encode_jax.py)."""
         p = self.prelude
         lib = native.get_lib()
         freqs, lens, log_m, radix, fidelity = p.model.packed()
@@ -45,23 +46,28 @@ class ANSBvGraphSeq:
 
         if p.blocks is not None and len(p.blocks[0]) > 1:
             starts, bstates, bptrs = p.blocks
-            bounds = list(starts) + [p.num_nodes]
-            parts = []
-            for b in range(len(starts)):
-                parts.append(self._decode_range(
-                    lib, stream, freqs, lens, log_m, radix, fidelity,
-                    int(bptrs[b]), int(bstates[b]), int(bounds[b]),
-                    int(bounds[b + 1]) - int(bounds[b])))
-            offsets = np.zeros(p.num_nodes + 1, np.uint64)
-            pos = 1
-            acc = 0
-            for off, _ in parts:
-                k = len(off) - 1
-                offsets[pos:pos + k] = off[1:] + acc
-                acc += int(off[-1])
-                pos += k
-            succs = np.concatenate([s for _, s in parts]) if parts else                 np.zeros(0, np.uint32)
-            return Adjacency(offsets, succs)
+            starts = np.ascontiguousarray(starts, dtype=np.uint32)
+            bstates = np.ascontiguousarray(bstates, dtype=np.uint32)
+            bptrs = np.ascontiguousarray(bptrs, dtype=np.uint64)
+            h = native.check_ptr(
+                lib.wgt_ans_decode_seq_blocks(
+                    native.as_ptr(stream, ctypes.c_uint16),
+                    native.as_ptr(starts, ctypes.c_uint32),
+                    native.as_ptr(bstates, ctypes.c_uint32),
+                    native.as_ptr(bptrs, ctypes.c_uint64),
+                    len(starts),
+                    p.num_nodes,
+                    p.compression_window,
+                    p.min_interval_length,
+                    native.as_ptr(freqs, ctypes.c_uint16),
+                    native.as_ptr(lens, ctypes.c_uint64),
+                    native.as_ptr(log_m, ctypes.c_uint32),
+                    native.as_ptr(radix, ctypes.c_uint32),
+                    native.as_ptr(fidelity, ctypes.c_uint32),
+                )
+            )
+            off, succs = native.fetch_adjacency(lib, h)
+            return Adjacency(off, succs)
 
         off, succs = self._decode_range(
             lib, stream, freqs, lens, log_m, radix, fidelity,

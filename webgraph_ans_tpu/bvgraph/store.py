@@ -75,26 +75,36 @@ def _run_histogram_pass(adj: Adjacency, window: int, max_ref: int, min_interval:
 
 
 def _run_encode_pass(adj: Adjacency, window: int, max_ref: int, min_interval: int,
-                     tables: estimators.EntropyTables, model: ANSModel):
+                     tables: estimators.EntropyTables, model: ANSModel,
+                     spill_path: str | None = None,
+                     spill_chunk_tokens: int = 1 << 22):
+    """With spill_path set, pass 3 runs out-of-core: the token buffer
+    spills to disk in varint chunks and RAM stays O(spill_chunk_tokens)
+    (RevBuffer parity; reference src/utils/rev.rs:116-221). Output is
+    bit-identical to the in-RAM path."""
     lib = native.get_lib()
     freqs, lens, log_m, radix, fidelity = model.packed()
-    h = native.check_ptr(
-        lib.wgt_bvcomp_encode(
-            adj.num_nodes,
-            native.as_ptr(adj.offsets, ctypes.c_uint64),
-            native.as_ptr(adj.succs, ctypes.c_uint32),
-            window, max_ref, min_interval,
-            native.as_ptr(tables.costs, ctypes.c_uint64),
-            native.as_ptr(tables.lens, ctypes.c_uint64),
-            native.as_ptr(tables.fidelity, ctypes.c_uint32),
-            native.as_ptr(tables.radix, ctypes.c_uint32),
-            native.as_ptr(freqs, ctypes.c_uint16),
-            native.as_ptr(lens, ctypes.c_uint64),
-            native.as_ptr(log_m, ctypes.c_uint32),
-            native.as_ptr(radix, ctypes.c_uint32),
-            native.as_ptr(fidelity, ctypes.c_uint32),
-        )
+    common = (
+        adj.num_nodes,
+        native.as_ptr(adj.offsets, ctypes.c_uint64),
+        native.as_ptr(adj.succs, ctypes.c_uint32),
+        window, max_ref, min_interval,
+        native.as_ptr(tables.costs, ctypes.c_uint64),
+        native.as_ptr(tables.lens, ctypes.c_uint64),
+        native.as_ptr(tables.fidelity, ctypes.c_uint32),
+        native.as_ptr(tables.radix, ctypes.c_uint32),
+        native.as_ptr(freqs, ctypes.c_uint16),
+        native.as_ptr(lens, ctypes.c_uint64),
+        native.as_ptr(log_m, ctypes.c_uint32),
+        native.as_ptr(radix, ctypes.c_uint32),
+        native.as_ptr(fidelity, ctypes.c_uint32),
     )
+    if spill_path is not None:
+        h = native.check_ptr(
+            lib.wgt_bvcomp_encode_spill(
+                *common, spill_path.encode(), spill_chunk_tokens))
+    else:
+        h = native.check_ptr(lib.wgt_bvcomp_encode(*common))
     try:
         stream_len = int(lib.wgt_enc_stream_len(h))
         num_phases = int(lib.wgt_enc_num_phases(h))
@@ -145,12 +155,15 @@ def compress_adjacency(adj: Adjacency, compression_window: int = 7,
                        max_ref_count: int = 3, min_interval_length: int = 2,
                        use_tpu_model_search: bool = False,
                        max_frame_log2: int = 12,
-                       encode_blocks: int = 1) -> CompressionResult:
+                       encode_blocks: int = 1,
+                       spill_path: str | None = None,
+                       spill_chunk_tokens: int = 1 << 22) -> CompressionResult:
     """encode_blocks > 1 runs pass 3's rANS encode lane-parallel on the
     device (ops/encode_jax.py): the stream splits into that many
-    independent blocks at reference-safe node boundaries, recorded in the
+    independent blocks at token-balanced node boundaries, recorded in the
     prelude's block table. encode_blocks=1 is the serial native encode
-    (bit-identical to the reference pipeline)."""
+    (bit-identical to the reference pipeline); with spill_path set it
+    runs out-of-core with O(spill_chunk_tokens) RAM."""
     t0 = time.time()
     # Pass 1: bootstrap model with the log2 estimator.
     hist1 = _run_histogram_pass(
@@ -193,7 +206,8 @@ def compress_adjacency(adj: Adjacency, compression_window: int = 7,
     else:
         stream, states, pointers, final_state = _run_encode_pass(
             adj, compression_window, max_ref_count, min_interval_length,
-            tables1, model2
+            tables1, model2, spill_path=spill_path,
+            spill_chunk_tokens=spill_chunk_tokens,
         )
     log.info("pass 3 (encode) in %.2fs", time.time() - t2)
 

@@ -12,6 +12,7 @@
 
 #include "ans.hpp"
 #include "ef.hpp"
+#include "spill.hpp"
 
 #include <cmath>
 #include <random>
@@ -209,6 +210,37 @@ void* wgt_bvcomp_encode(uint64_t n, const uint64_t* offsets,
   API_END_PTR
 }
 
+// Out-of-core pass 3: identical contract to wgt_bvcomp_encode but the token
+// buffer spills to `spill_path` in varint chunks of `chunk_tokens`, so RAM
+// during the pass is O(chunk_tokens) instead of O(arcs) (RevBuffer parity;
+// reference: src/utils/rev.rs:116-221).
+void* wgt_bvcomp_encode_spill(
+    uint64_t n, const uint64_t* offsets, const uint32_t* succs,
+    uint32_t window, uint32_t max_ref, uint32_t min_interval,
+    const uint64_t* est_costs, const uint64_t* est_lens,
+    const uint32_t* est_fidelity, const uint32_t* est_radix,
+    const uint16_t* model_freqs, const uint64_t* model_lens,
+    const uint32_t* model_log_m, const uint32_t* model_radix,
+    const uint32_t* model_fidelity, const char* spill_path,
+    uint64_t chunk_tokens) {
+  API_BEGIN
+  Estimator est = make_estimator(1, est_costs, est_lens, est_fidelity, est_radix);
+  EncoderModel model = make_encoder_model(model_freqs, model_lens, model_log_m,
+                                          model_radix, model_fidelity);
+  SpillSink sink(spill_path, chunk_tokens);
+  BvComp comp(window, max_ref, min_interval, est, sink);
+  std::vector<uint64_t> buf;
+  for (uint64_t x = 0; x < n; ++x) {
+    buf.assign(succs + offsets[x], succs + offsets[x + 1]);
+    comp.push(x, buf.data(), buf.size());
+  }
+  auto* r = new EncResult();
+  r->num_symbols = sink.total_tokens();
+  sink.encode(model, r->stream, r->states, r->pointers, r->final_state);
+  return r;
+  API_END_PTR
+}
+
 // Dump the forward-order (value, component) token stream BvComp chooses
 // (the exact sequence pass 3 buffers before reverse-encoding). Ground truth
 // for the TPU token decoder tests.
@@ -296,6 +328,49 @@ void* wgt_ans_decode_seq(const uint16_t* stream, uint64_t stream_len,
     for (uint64_t s : curr) r->succs.push_back(static_cast<uint32_t>(s));
     r->offsets.push_back(r->succs.size());
     win[x % ring] = curr;
+  }
+  return r;
+  API_END_PTR
+}
+
+// Block-parallel-encoded (prelude v2) files: decode every block in node
+// order from its (state, pointer) entry, carrying the sliding successor
+// window ACROSS block boundaries (block starts are token-balanced, not
+// reference-safe — the rANS state resets per block but references may
+// reach into earlier blocks).
+void* wgt_ans_decode_seq_blocks(
+    const uint16_t* stream, const uint32_t* block_starts,
+    const uint32_t* block_states, const uint64_t* block_ptrs,
+    uint64_t nblocks, uint64_t n, uint32_t window, uint32_t min_interval,
+    const uint16_t* model_freqs, const uint64_t* model_lens,
+    const uint32_t* model_log_m, const uint32_t* model_radix,
+    const uint32_t* model_fidelity) {
+  API_BEGIN
+  EncoderModel em = make_encoder_model(model_freqs, model_lens, model_log_m,
+                                       model_radix, model_fidelity);
+  DecoderModel dm = DecoderModel::from_encoder(em);
+  auto* r = new AdjResult();
+  r->offsets.assign(1, 0);
+  r->offsets.reserve(n + 1);
+  size_t ring = window + 1;
+  std::vector<std::vector<uint64_t>> win(ring);
+  std::vector<uint64_t> curr;
+  for (uint64_t b = 0; b < nblocks; ++b) {
+    uint64_t lo = block_starts[b];
+    uint64_t hi = (b + 1 < nblocks) ? block_starts[b + 1] : n;
+    ANSDecoder dec(dm, stream, static_cast<size_t>(block_ptrs[b]),
+                   block_states[b]);
+    for (uint64_t x = lo; x < hi; ++x) {
+      read_successors(
+          dec, x, window, min_interval,
+          [&](uint64_t node) -> const std::vector<uint64_t>& {
+            return win[node % ring];
+          },
+          curr);
+      for (uint64_t s : curr) r->succs.push_back(static_cast<uint32_t>(s));
+      r->offsets.push_back(r->succs.size());
+      win[x % ring] = curr;
+    }
   }
   return r;
   API_END_PTR

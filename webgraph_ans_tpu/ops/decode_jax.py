@@ -48,6 +48,7 @@ builder checks this.
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import jax
@@ -67,9 +68,13 @@ P_DONE = 9
 # Component nibbles are packed 8 per u32 output word.
 UNROLL = 8
 
-# Stream layout: words packed 2-per-u32, 8 pairs (16 words) per row.
-PAIRS_PER_ROW = 8
-WORDS_PER_ROW = 16
+# Stream layout: words packed 2-per-u32, 16 pairs (32 words) per row.
+# Wide rows amortize the per-row DMA cost: the hot decoder holds
+# `_rows_back` rows register-resident and refetches only every
+# `_chunk_steps` tokens (worst-case word consumption bounds the interval).
+PAIRS_PER_ROW = 16
+WORDS_PER_ROW = 32
+ROW_SHIFT = WORDS_PER_ROW.bit_length() - 1  # word index -> row index
 
 # Packed register file rows. The outdegree ring occupies rows
 # NREG..NREG+window.
@@ -79,25 +84,29 @@ NREG = 17
 
 
 class DecoderTables(NamedTuple):
-    """Decode LUT regions (reference layout:
-    src/ans/models/model4decoder.rs:18-68, re-packed TPU-first) and the
-    row-packed stream: lut = [fc (slots) | sym prefix (slots) | fold count
-    (slots)], gathered per token; stream_rows[r, p] packs words 16r+2p
-    (low half) and 16r+2p+1 (high half)."""
+    """Decode LUT (reference layout:
+    src/ans/models/model4decoder.rs:18-68, re-packed TPU-first into 8-byte
+    rows — gather cost scales with bytes fetched) and the row-packed
+    stream: lut row = [freq | cumul<<16, folded symbol | folds<<16]; the
+    31-bit symbol prefix is recomputed on the VPU
+    (prefix = (sym - folding_offset*folds) << (folds*radix)).
+    stream_rows[r, p] packs words WORDS_PER_ROW*r+2p (low half) and +1
+    (high half)."""
 
-    lut: jax.Array          # uint32 [slots, 4]: fc, sym prefix, folds, 0
-    stream_rows: jax.Array  # uint32 [ceil(stream_len/16), 8]
+    lut: jax.Array          # uint32 [slots, 2]: fc, sym|folds<<16
+    stream_rows: jax.Array  # uint32 [ceil(stream_len/32), 16]
 
 
-# Static codec parameters: 9 x (offset, log_m, mask, radix), then [9] the
-# slot count (region stride) and [10] the model's maximum fold count.
+# Static codec parameters: 9 x (offset, log_m, mask, radix, fold_off),
+# then [9] the slot count (region stride) and [10] the model's maximum
+# fold count.
 CodecParams = tuple
 
 
 def build_decoder_tables(model: ANSModel, stream) -> tuple[DecoderTables, CodecParams]:
     """Expands the encoder model + u16 stream into the flat decode buffer
     (host-side) and the static parameter tuple."""
-    fc_parts, sym_parts, fold_parts = [], [], []
+    fc_parts, sf_parts = [], []
     params = []
     base = 0
     max_folds = 0
@@ -105,7 +114,7 @@ def build_decoder_tables(model: ANSModel, stream) -> tuple[DecoderTables, CodecP
         frame = 1 << c.log_m if len(c.freqs) else 0
         params.append((base, int(c.log_m),
                        (1 << c.log_m) - 1 if len(c.freqs) else 0,
-                       int(c.radix)))
+                       int(c.radix), int(c.folding_offset)))
         if frame == 0:
             continue
         freqs = c.freqs.astype(np.uint32)
@@ -123,24 +132,22 @@ def build_decoder_tables(model: ANSModel, stream) -> tuple[DecoderTables, CodecP
             if int(prefix.max()) >> 31:
                 raise ValueError(
                     "symbol prefix exceeds 31 bits; graph too large for the TPU path")
+            assert int(syms.max()) < 1 << 16  # folded domain is u16
             max_folds = max(max_folds, int(folds.max()))
         pad = frame - used
         fc_parts.append(np.concatenate(
             [freqs[syms] | (cumul[syms].astype(np.uint32) << 16),
              np.zeros(pad, np.uint32)]))
-        sym_parts.append(np.concatenate(
-            [prefix.astype(np.uint32), np.zeros(pad, np.uint32)]))
-        fold_parts.append(np.concatenate(
-            [folds.astype(np.uint32), np.zeros(pad, np.uint32)]))
+        sf_parts.append(np.concatenate(
+            [syms.astype(np.uint32) | (folds.astype(np.uint32) << 16),
+             np.zeros(pad, np.uint32)]))
         base += frame
     slots = max(base, 1)
     z = [np.zeros(1, np.uint32)]
     fc = np.concatenate(fc_parts or z)
-    sym = np.concatenate(sym_parts or z)
-    fold = np.concatenate(fold_parts or z)
+    sf = np.concatenate(sf_parts or z)
     fc.resize(slots)
-    sym.resize(slots)
-    fold.resize(slots)
+    sf.resize(slots)
     stream_w = np.ascontiguousarray(stream, dtype=np.uint16).astype(np.uint32)
     target = max(-(-len(stream_w) // WORDS_PER_ROW) * WORDS_PER_ROW,
                  WORDS_PER_ROW)
@@ -149,7 +156,7 @@ def build_decoder_tables(model: ANSModel, stream) -> tuple[DecoderTables, CodecP
             [stream_w, np.zeros(target - len(stream_w), np.uint32)])
     pairs = stream_w[0::2] | (stream_w[1::2] << 16)
     stream_rows = pairs.reshape(-1, PAIRS_PER_ROW)
-    lut = np.stack([fc, sym, fold, np.zeros_like(fc)], axis=1)
+    lut = np.stack([fc, sf], axis=1)
     params.append(slots)
     params.append(max_folds)
     return (DecoderTables(lut=jnp.asarray(lut),
@@ -165,16 +172,28 @@ def _per_comp_const(comp, params: CodecParams, field: int):
     return out
 
 
-def fetch_window(tables: DecoderTables, ptr, rows_back: int):
-    """Per-token stream window: the `rows_back` 16-word rows at and below
-    the pointer, as register-resident pairs. Returns (win [8*rows_back, L]
-    u32 pair rows, pbase [L] first pair index). One fast per-lane ROW
-    gather per row — never an element gather into the stream."""
-    rp = jnp.maximum(ptr.astype(jnp.int32) - 1, 0) >> 4
+def fetch_window(tables: DecoderTables, ptr, rows_back: int,
+                 base_rows=None):
+    """Per-token stream window: the `rows_back` rows at and below the
+    pointer, as register-resident pairs. Returns (win
+    [PAIRS_PER_ROW*rows_back, L] u32 pair rows, pbase [L] first pair
+    index). One fast per-lane ROW gather per row — never an element
+    gather into the stream.
+
+    64-bit streams: `ptr` may be LANE-RELATIVE, with `base_rows` [L] i32
+    holding each lane's stream-row base (so absolute word =
+    base_rows*WORDS_PER_ROW + ptr). All pointer/pair arithmetic stays in
+    the relative i32 domain; only the physical row gather adds the base.
+    Row indices are i32, so streams up to 2^31 rows (2^36 u16 words,
+    128 GiB) are addressable — the reference's usize pointer analog
+    (src/ans/decoder.rs:41-53)."""
+    rp = jnp.maximum(ptr.astype(jnp.int32) - 1, 0) >> ROW_SHIFT
     parts = []
     for k in range(rows_back - 1, -1, -1):
-        parts.append(tables.stream_rows[jnp.maximum(rp - k, 0)])  # [L, 8]
-    win = jnp.concatenate(parts, axis=1).T  # [8*rows_back, L], low->high
+        rel = jnp.maximum(rp - k, 0)
+        row = rel if base_rows is None else base_rows + rel
+        parts.append(tables.stream_rows[row])  # [L, PAIRS_PER_ROW]
+    win = jnp.concatenate(parts, axis=1).T  # low->high
     # pbase may go negative near the stream start; the clamped duplicate
     # low rows are then never addressed (valid streams never read below 0)
     pbase = (rp - (rows_back - 1)) * PAIRS_PER_ROW
@@ -182,13 +201,33 @@ def fetch_window(tables: DecoderTables, ptr, rows_back: int):
 
 
 def _refill_pair(state, ptr, win, pbase, active):
-    """Masked 16-bit renormalization refill from the pair window
-    (reference: src/ans/decoder.rs:89-93)."""
+    """Masked 16-bit renormalization refill from the full pair window
+    (reference: src/ans/decoder.rs:89-93) via a take_along_axis gather —
+    only used for high-fold models (raw-codec tests) whose window exceeds
+    the select-chain budget."""
     P = win.shape[0]
     need = active & (state < LOWER_BOUND)
     new_ptr = ptr - need.astype(ptr.dtype)
     pidx = jnp.clip((new_ptr >> 1) - pbase, 0, P - 1)
-    pair = jax.lax.select_n(pidx, *[win[k] for k in range(P)])
+    pair = jnp.take_along_axis(win, pidx[None, :], axis=0)[0]
+    word = jnp.where((new_ptr & 1) == 1, pair >> np.uint32(16),
+                     pair & jnp.uint32(0xFFFF))
+    state = jnp.where(need, (state << np.uint32(B)) | word, state)
+    return state, jnp.where(need, new_ptr, ptr)
+
+
+def _refill_local(state, ptr, loc, pair_lo, active):
+    """Masked 16-bit refill from the token-local consecutive pairs `loc`
+    (extracted once per token): a token's refills walk consecutive words
+    [ptr-1-2*max_folds, ptr-1], so each refill only needs a tiny
+    len(loc)-way select instead of a window-wide chain."""
+    need = active & (state < LOWER_BOUND)
+    new_ptr = ptr - need.astype(ptr.dtype)
+    if len(loc) == 1:
+        pair = loc[0]
+    else:
+        j = jnp.clip((new_ptr >> 1) - pair_lo, 0, len(loc) - 1)
+        pair = jax.lax.select_n(j, *loc)
     word = jnp.where((new_ptr & 1) == 1, pair >> np.uint32(16),
                      pair & jnp.uint32(0xFFFF))
     state = jnp.where(need, (state << np.uint32(B)) | word, state)
@@ -197,9 +236,32 @@ def _refill_pair(state, ptr, win, pbase, active):
 
 def _rows_back(max_folds: int) -> int:
     """Stream rows a token can straddle: worst-case word consumption is
-    1 + 2*max_folds, and in the worst alignment only 16*(rows_back-1)
-    words below the pointer are covered."""
+    1 + 2*max_folds, and in the worst alignment only
+    WORDS_PER_ROW*(rows_back-1) words below the pointer are covered."""
     return 1 + -(-(1 + 2 * max_folds) // WORDS_PER_ROW)
+
+
+def _chunk_steps(max_folds: int) -> int:
+    """Tokens decodable from a register-resident `_rows_back`-row window
+    before a refetch is needed: the window fetched at pointer p covers at
+    least WORDS_PER_ROW*(rows_back-1) words below p-1 in the worst
+    alignment, and each token consumes at most 1 + 2*max_folds words."""
+    return max(1, (WORDS_PER_ROW * (_rows_back(max_folds) - 1))
+               // (1 + 2 * max_folds))
+
+
+def _cap_quantum(max_folds: int) -> int:
+    """decode_blocks requires cap to be a multiple of this (the chunked
+    loop advances _chunk_steps tokens per refetch; nibble words pack
+    UNROLL tokens)."""
+    k = _chunk_steps(max_folds)
+    return k * UNROLL // np.gcd(k, UNROLL)
+
+
+def round_cap(params: CodecParams, cap: int) -> int:
+    """Rounds a token capacity up to decode_blocks' cap quantum."""
+    q = _cap_quantum(params[10])
+    return -(-max(cap, 1) // q) * q
 
 
 def ans_decode_step(params: CodecParams, tables: DecoderTables,
@@ -218,17 +280,47 @@ def ans_decode_step(params: CodecParams, tables: DecoderTables,
     radix_mask = (jnp.uint32(1) << radix) - jnp.uint32(1)
     max_folds = params[10]
     lut = tables.lut
+    P = win.shape[0]
 
     slot = state & mask
-    row = lut[offset + slot]      # ONE 16-byte row DMA per lane per token
+    if "nolut" in os.environ.get("WGT_DECODE_PROBE", ""):
+        # cost-attribution ablation: no LUT gather (decodes garbage)
+        row = jnp.broadcast_to(jnp.array([1, 0], jnp.uint32),
+                               (slot.shape[0], 2))
+    else:
+        row = lut[offset + slot]  # ONE 8-byte row DMA per lane per token
     fc = row[:, 0]
     freq = fc & jnp.uint32(0xFFFF)
     cumul = fc >> np.uint32(16)
-    prefix = row[:, 1]
-    folds = row[:, 2]
+    sym = row[:, 1] & jnp.uint32(0xFFFF)
+    folds = row[:, 1] >> np.uint32(16)
+    # 31-bit symbol prefix recomputed on the VPU (folds*radix can reach 31
+    # only when the shifted base is 0; clamp keeps the shift defined)
+    fold_off = _per_comp_const(comp, params, 4)
+    prefix = (sym - fold_off * folds) << jnp.minimum(
+        folds * radix, jnp.uint32(31))
+
+    # A token's refills read the consecutive words
+    # [ptr-1-2*max_folds, ptr-1]: extract those max_folds+1 pairs from the
+    # window ONCE, then each refill selects among them (tiny chains instead
+    # of window-wide ones). High-fold models fall back to per-refill
+    # window gathers.
+    if P <= 32:
+        pair_lo = jnp.maximum(
+            ptr.astype(jnp.int32) - (1 + 2 * max_folds), 0) >> 1
+        loc = []
+        for j in range(max_folds + 1):
+            idx = jnp.clip(pair_lo - pbase + j, 0, P - 1)
+            loc.append(jax.lax.select_n(idx, *[win[k] for k in range(P)]))
+
+        def refill(s, p, a):
+            return _refill_local(s, p, loc, pair_lo, a)
+    else:
+        def refill(s, p, a):
+            return _refill_pair(s, p, win, pbase, a)
 
     new_state = (state >> log_m) * freq + slot - cumul
-    new_state, new_ptr = _refill_pair(new_state, ptr, win, pbase, active)
+    new_state, new_ptr = refill(new_state, ptr, active)
 
     # Pull `folds` radix-bit chunks back out of the state, refilling between
     # pulls (reference: decoder.rs:71-86). Statically unrolled and masked.
@@ -236,10 +328,10 @@ def ans_decode_step(params: CodecParams, tables: DecoderTables,
     folds_left = jnp.where(active, folds, 0)
     for _ in range(max_folds):
         a = folds_left > 0
-        new_state, new_ptr = _refill_pair(new_state, new_ptr, win, pbase, a)
+        new_state, new_ptr = refill(new_state, new_ptr, a)
         fold = jnp.where(a, (fold << radix) | (new_state & radix_mask), fold)
         new_state = jnp.where(a, new_state >> radix, new_state)
-        new_state, new_ptr = _refill_pair(new_state, new_ptr, win, pbase, a)
+        new_state, new_ptr = refill(new_state, new_ptr, a)
         folds_left = folds_left - a.astype(folds_left.dtype)
 
     value = prefix | fold
@@ -283,7 +375,8 @@ def decode_token_plan(params: CodecParams, tables: DecoderTables,
 )
 def decode_blocks(params: CodecParams, tables: DecoderTables,
                   states, ptrs, starts, ends, ring_seed,
-                  window: int, min_interval: int, cap: int):
+                  window: int, min_interval: int, cap: int,
+                  base_rows=None):
     """Grammar-FSM token decode of independent node ranges (blocks).
 
     Lane l decodes every (component, value) token of nodes
@@ -297,28 +390,47 @@ def decode_blocks(params: CodecParams, tables: DecoderTables,
     preceding each block at slots node_id % (window+1) (use seed_rings);
     entries for nodes < starts[l]-window are never read.
 
-    cap must be a multiple of 8. Returns (out [cap + cap//8, L] u32,
-    counts [L], ok bool[L]): row s < cap holds the token values of lockstep
-    step s (lane l's tokens are rows 0..counts[l]-1), rows cap + s//8 hold
-    the component ids packed 4 bits per token, 8 tokens per word
-    (token s at nibble s % 8). Lanes whose token count exceeds `cap`
-    report ok=False (re-run with a bigger cap)."""
-    assert cap % UNROLL == 0
+    cap must be a multiple of round_cap's quantum. Returns (out
+    [cap + cap//8, L] u32, counts [L], ok bool[L]): row s < cap holds the
+    token values of lockstep step s (lane l's tokens are rows
+    0..counts[l]-1), rows cap + s//8 hold the component ids packed 4 bits
+    per token, 8 tokens per word (token s at nibble s % 8). Lanes whose
+    token count exceeds `cap` report ok=False (re-run with a bigger cap).
+
+    Stream access is CHUNKED: each lane keeps `rows_back` stream rows
+    register-resident (inside the one packed carry) and refetches them
+    only every `_chunk_steps(max_folds)` tokens — the dominant per-token
+    cost on TPU is row-gather DMAs, and worst-case word consumption
+    bounds how long a fetched window stays valid.
+
+    64-bit streams: pass `ptrs` LANE-RELATIVE plus `base_rows` [L] i32
+    per-lane stream-row bases (absolute word = base_rows*WORDS_PER_ROW +
+    ptr); see fetch_window. With base_rows=None pointers are absolute
+    (streams < 2^31 words)."""
     rows_back = _rows_back(params[10])
-    assert 1 + 2 * params[10] <= WORDS_PER_ROW * (rows_back - 1), (
+    K = _chunk_steps(params[10])
+    assert cap % _cap_quantum(params[10]) == 0, (
+        f"cap {cap} not a multiple of the decode quantum; use round_cap")
+    assert K * (1 + 2 * params[10]) <= WORDS_PER_ROW * (rows_back - 1), (
         f"model max_folds {params[10]} exceeds the stream window")
     L = states.shape[0]
     R = window + 1
+    WPAIRS = PAIRS_PER_ROW * rows_back
+    R_PBASE = NREG + R          # window base pair index
+    WIN0 = NREG + R + 1         # resident stream window rows
+    R_BROW = WIN0 + WPAIRS      # per-lane stream-row base (64-bit streams)
     i32 = jnp.int32
 
-    regs = jnp.zeros((NREG + R, L), i32)
+    regs = jnp.zeros((NREG + R + 1 + WPAIRS + 1, L), i32)
     regs = regs.at[R_STATE].set(
         jax.lax.bitcast_convert_type(states.astype(jnp.uint32), i32))
     regs = regs.at[R_PTR].set(ptrs.astype(i32))
+    if base_rows is not None:
+        regs = regs.at[R_BROW].set(base_rows.astype(i32))
     regs = regs.at[R_X].set(starts.astype(i32))
     regs = regs.at[R_PHASE].set(
         jnp.where(starts < ends, P_OUT, P_DONE).astype(i32))
-    regs = regs.at[NREG:].set(ring_seed.astype(i32).T)
+    regs = regs.at[NREG:NREG + R].set(ring_seed.astype(i32).T)
     ends = ends.astype(i32)
     out = jnp.zeros((cap + cap // UNROLL, L), jnp.uint32)
     # untouched packed-component rows must read as 0xF nibbles
@@ -337,7 +449,9 @@ def decode_blocks(params: CodecParams, tables: DecoderTables,
         ptr0 = regs[R_PTR]
         active = p != P_DONE
         state = jax.lax.bitcast_convert_type(regs[R_STATE], jnp.uint32)
-        win, pbase = fetch_window(tables, ptr0, rows_back)
+        win = jax.lax.bitcast_convert_type(regs[WIN0:WIN0 + WPAIRS],
+                                           jnp.uint32)
+        pbase = regs[R_PBASE]
         v, state, ptr = ans_decode_step(
             params, tables, state, ptr0, jnp.minimum(p, P_RES), active,
             win, pbase)
@@ -351,7 +465,7 @@ def decode_blocks(params: CodecParams, tables: DecoderTables,
         copy_flag = regs[R_CPY] != 0
         copied, ref_outdeg = regs[R_COPIED], regs[R_REFD]
         extra, iv_rem, res_rem = regs[R_EXTRA], regs[R_IVREM], regs[R_RESREM]
-        ring = regs[NREG:]
+        ring = regs[NREG:NREG + R]
 
         is_out = active & (p == P_OUT)
         d = jnp.where(is_out, v, d)
@@ -452,10 +566,11 @@ def decode_blocks(params: CodecParams, tables: DecoderTables,
                 regs[R_OUTN] + active.astype(i32), cpk,
             ], axis=0),
             ring,
+            regs[NREG + R:],  # pbase + resident window pass through
         ], axis=0)
         return new_regs, vu, nib
 
-    def body(carry):
+    def inner(_, carry):
         step, regs, out = carry
         sub = step % UNROLL
         cpk_prev = jax.lax.bitcast_convert_type(regs[R_CPK], jnp.uint32)
@@ -467,9 +582,23 @@ def decode_blocks(params: CodecParams, tables: DecoderTables,
         cpk = ((cpk_prev & ~(jnp.uint32(0xF) << shift))
                | ((nib & jnp.uint32(0xF)) << shift))
         regs = regs.at[R_CPK].set(jax.lax.bitcast_convert_type(cpk, i32))
-        out = out.at[step, :].set(vu)
-        out = out.at[cap + step // UNROLL, :].set(cpk)
+        if "noout" not in os.environ.get("WGT_DECODE_PROBE", ""):
+            out = out.at[step, :].set(vu)
+            out = out.at[cap + step // UNROLL, :].set(cpk)
         return step + 1, regs, out
+
+    def body(carry):
+        step, regs, out = carry
+        if "norefetch" not in os.environ.get("WGT_DECODE_PROBE", ""):
+            # refetch the resident stream window (rows_back row DMAs per
+            # lane, amortized over the K tokens of this chunk)
+            win_new, pbase_new = fetch_window(
+                tables, regs[R_PTR], rows_back,
+                regs[R_BROW] if base_rows is not None else None)
+            regs = regs.at[R_PBASE].set(pbase_new)
+            regs = regs.at[WIN0:WIN0 + WPAIRS].set(
+                jax.lax.bitcast_convert_type(win_new, i32))
+        return jax.lax.fori_loop(0, K, inner, (step, regs, out))
 
     step, regs, out = jax.lax.while_loop(
         cond, body, (jnp.zeros((), i32), regs, out))
@@ -509,7 +638,7 @@ def fetch_block_tokens(out, counts, cap: int):
 
 @functools.partial(jax.jit, static_argnames=("params", "window"))
 def seed_rings(params: CodecParams, tables: DecoderTables,
-               states, ptrs, starts, window: int):
+               states, ptrs, starts, window: int, base_rows=None):
     """Builds the outdegree ring seeds for decode_blocks: for each lane,
     decodes the single Outdegree token of each of the `window` nodes
     preceding the block start (independent entries via the phase table,
@@ -517,7 +646,8 @@ def seed_rings(params: CodecParams, tables: DecoderTables,
     src/bvgraph/factories/bvgraph_decoder_factory.rs:46-58).
 
     states/ptrs: [L, window] phases of nodes starts[l]-window .. starts[l]-1
-    (clamped to node 0; lanes ignore entries before node 0).
+    (clamped to node 0; lanes ignore entries before node 0). For 64-bit
+    streams, ptrs are lane-relative to base_rows [L] (see fetch_window).
     Returns ring [L, window+1] with outdegrees at slots node % (window+1)."""
     L = states.shape[0]
     R = window + 1
@@ -530,7 +660,8 @@ def seed_rings(params: CodecParams, tables: DecoderTables,
         node = starts.astype(jnp.int32) - window + j
         valid = node >= 0
         ptr_j = ptrs[:, j].astype(jnp.int32)
-        win, pbase = fetch_window(tables, ptr_j, _rows_back(params[10]))
+        win, pbase = fetch_window(tables, ptr_j, _rows_back(params[10]),
+                                  base_rows)
         v, _, _ = ans_decode_step(
             params, tables, states[:, j].astype(jnp.uint32),
             ptr_j, comp, valid, win, pbase)

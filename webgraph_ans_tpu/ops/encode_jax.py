@@ -263,39 +263,21 @@ def encode_blocks(params, tables: EncoderTables, tokens, tstart, tend,
     return emit, states, final_states, wtotals, ok
 
 
-def _safe_boundary_nodes(values, comps, window: int):
-    """Nodes where a block may start: no node in [x, x+window) references
-    back across x (so a per-block decoder needs no ring seed and the native
-    per-block sequential decode starts from an empty window). Node 0 is
-    always safe."""
-    is_out = comps == 0
-    node_of = np.cumsum(is_out) - 1
-    n = int(is_out.sum())
-    ref = np.zeros(n, np.int64)
-    m = comps == 1
-    ref[node_of[m]] = values[m]
-    x = np.arange(n)
-    reach = x - ref           # lowest node each node references (itself if 0)
-    # min of `reach` over the next `window` nodes (inclusive)
-    if window > 0:
-        mins = reach.copy()
-        for k in range(1, min(window, n)):
-            mins[:-k] = np.minimum(mins[:-k], reach[k:])
-    else:
-        mins = reach
-    return np.nonzero(mins >= x)[0]
-
-
 def lane_encode_tokens(model: ANSModel, values: np.ndarray,
                        comps: np.ndarray, num_blocks: int = 512,
                        window: int = 7):
     """Host orchestration: encodes the forward-order token stream with
-    `num_blocks` independent lanes split at reference-safe node boundaries.
-    Returns (stream u16, states u32 reverse-node-order, pointers u64
-    reverse-node-order, final_state, blocks) — the same artifact contract
-    as the serial native encode (native/src/ans.hpp BufferSink::encode),
-    plus the prelude block entry table (start_nodes, entry_states,
-    entry_ptrs)."""
+    `num_blocks` independent lanes split at token-balanced node
+    boundaries (every decode lane's lockstep step count equals its token
+    count, so token balance is what keeps the lane-parallel decoder
+    busy; references may cross block boundaries — all decoders seed
+    their context from the phase table / carry the window across
+    blocks). Returns (stream u16, states u32 reverse-node-order,
+    pointers u64 reverse-node-order, final_state, blocks) — the same
+    artifact contract as the serial native encode (native/src/ans.hpp
+    BufferSink::encode), plus the prelude block entry table
+    (start_nodes, entry_states, entry_ptrs)."""
+    del window  # block starts no longer restricted to reference-safe nodes
     values = np.ascontiguousarray(values, dtype=np.uint64)
     comps = np.ascontiguousarray(comps, dtype=np.uint8)
     T = len(values)
@@ -306,13 +288,16 @@ def lane_encode_tokens(model: ANSModel, values: np.ndarray,
     max_folds = params[9]
     EP = _emit_pairs(max_folds)
 
-    # block boundaries at reference-safe node starts, balanced by tokens
+    # block boundaries at node starts, balanced in TOKEN space
     node_starts = np.nonzero(comps == 0)[0]
     n_nodes = len(node_starts)
-    safe = _safe_boundary_nodes(values, comps, window)
-    Bn = min(num_blocks, max(len(safe), 1))
-    targets = (np.arange(Bn, dtype=np.int64) * n_nodes) // max(Bn, 1)
-    picks = safe[np.minimum(np.searchsorted(safe, targets), len(safe) - 1)]         if len(safe) else np.zeros(1, np.int64)
+    Bn = min(num_blocks, max(n_nodes, 1))
+    targets_tok = (np.arange(Bn, dtype=np.int64) * T) // max(Bn, 1)
+    if n_nodes:
+        picks = np.minimum(np.searchsorted(node_starts, targets_tok),
+                           n_nodes - 1)
+    else:
+        picks = np.zeros(1, np.int64)
     picks = np.unique(picks)
     block_nodes = picks.astype(np.int64)
     tstart = node_starts[block_nodes].astype(np.int32) if n_nodes else np.zeros(1, np.int32)

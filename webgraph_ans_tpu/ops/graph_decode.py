@@ -13,8 +13,8 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..bvgraph.random_access import ANSBvGraph
-from .decode_jax import (UNROLL, build_decoder_tables, decode_blocks,
-                         fetch_block_tokens, seed_rings)
+from .decode_jax import (ROW_SHIFT, build_decoder_tables, decode_blocks,
+                         fetch_block_tokens, round_cap, seed_rings)
 
 
 class TpuGraphDecoder:
@@ -24,20 +24,42 @@ class TpuGraphDecoder:
         p = graph.prelude
         if p.num_nodes >= 1 << 31:
             raise ValueError("TPU decode path supports graphs with < 2^31 nodes")
-        if len(p.stream) >= 1 << 31:
-            # lane pointers are int32; the binding limit is stream words,
-            # not nodes (see VERDICT r01 item 4)
+        if len(p.stream) >= 1 << (31 + ROW_SHIFT):
+            # device row indices are int32; lane pointers are rebased
+            # per lane (decode_jax.fetch_window), so the binding limit is
+            # stream ROWS, not words (VERDICT r01 item 4: usize-pointer
+            # parity with src/ans/decoder.rs:41-53)
             raise ValueError(
-                "TPU decode path supports streams with < 2^31 u16 words")
+                f"TPU decode path supports streams with < 2^{31 + ROW_SHIFT} "
+                "u16 words")
         self.graph = graph
         self.window = p.compression_window
         self.min_interval = p.min_interval_length
         self.num_nodes = p.num_nodes
         self.num_arcs = p.num_arcs
         self.tables, self.params = build_decoder_tables(p.model, p.stream)
-        # graph.states/pointers are already in node order.
+        # graph.states/pointers are already in node order; pointers stay
+        # u64 on the host and are rebased to per-lane i32 at decode time.
         self.states = jnp.asarray(graph.states)
-        self.pointers = jnp.asarray(graph.pointers.astype(np.int64).astype(np.int32))
+        self.pointers = np.asarray(graph.pointers, dtype=np.int64)
+
+    def _lane_bases(self, starts: np.ndarray, ends: np.ndarray):
+        """Per-lane (base_rows i32, rel entry ptr i32) for 64-bit streams:
+        a lane's lowest touched word is the phase pointer at its end node
+        (phases descend in node order; the tail lane ends at word 0), so
+        basing each lane one row below that keeps every relative pointer
+        in [0, 2^31)."""
+        n = self.num_nodes
+        ptr_lo = np.where(ends < n, self.pointers[np.minimum(ends, n - 1)], 0)
+        base = np.maximum((ptr_lo >> ROW_SHIFT) - 1, 0)
+        rel = self.pointers[np.minimum(starts, n - 1)] - (base << ROW_SHIFT)
+        empty = starts >= ends        # padding lanes never touch the stream
+        base = np.where(empty, 0, base)
+        rel = np.where(empty, 0, rel)
+        if rel.size and int(rel.max()) >= 1 << 31:
+            raise ValueError(
+                "a decode lane spans >= 2^31 stream words; use more lanes")
+        return base.astype(np.int32), rel.astype(np.int32)
 
     def _block_bounds(self, num_lanes: int, lo: int = 0, hi: int | None = None,
                       pad_to: int = 1):
@@ -55,6 +77,28 @@ class TpuGraphDecoder:
         n = self.num_nodes
         hi = n if hi is None else hi
         span = hi - lo
+        blocks = self.graph.prelude.blocks
+        if blocks is not None:
+            bstarts = np.asarray(blocks[0], np.int64)
+            bstarts = np.unique(np.concatenate(
+                [[lo], bstarts[(bstarts > lo) & (bstarts < hi)]]))
+            if 2 * len(bstarts) >= num_lanes:
+                # encode blocks are token-balanced by the encoder, and a
+                # decode lane must start exactly at a block boundary (the
+                # rANS state resets there), so lanes = the block starts —
+                # adding span-based boundaries would only split blocks
+                # unevenly (span misbalances residual-heavy nodes)
+                starts = bstarts
+                ends = np.empty_like(starts)
+                ends[:-1] = starts[1:]
+                ends[-1] = hi
+                if len(starts) % pad_to:
+                    pad = pad_to - len(starts) % pad_to
+                    starts = np.concatenate(
+                        [starts, np.full(pad, hi, starts.dtype)])
+                    ends = np.concatenate(
+                        [ends, np.full(pad, hi, ends.dtype)])
+                return starts.astype(np.int32), ends.astype(np.int32)
         ptrs = np.asarray(self.pointers, dtype=np.int64)
         idx = np.arange(num_lanes, dtype=np.int64)
         if span <= num_lanes or ptrs[lo] == ptrs[hi - 1]:
@@ -94,43 +138,71 @@ class TpuGraphDecoder:
             ends[-1] = hi
         return starts, ends
 
-    def decode_tokens(self, num_lanes: int = 256, cap: int | None = None):
-        """Decodes every (component, value) token of the graph, lane-parallel
-        over `num_lanes` contiguous node blocks. Returns (values u32,
-        comps i8) concatenated in forward node order."""
+    def decode_raw(self, num_lanes: int = 256, cap: int | None = None):
+        """Lane-parallel token decode of the whole graph; returns the raw
+        DEVICE output (out, counts, cap) of decode_blocks (see
+        ops/decode_jax.py for the layout) — no host transfer."""
         starts, ends = self._block_bounds(num_lanes)
         W = self.window
         host_states = np.asarray(self.states)
-        host_ptrs = np.asarray(self.pointers)
+        host_ptrs = self.pointers
+        base, rel = self._lane_bases(starts, ends)
+        base_d = jnp.asarray(base)
 
         # Phases of the `window` nodes preceding each block (clamped to 0;
-        # invalid entries are masked inside seed_rings).
+        # invalid entries are masked inside seed_rings). Seed pointers are
+        # rebased to the lane's base (pre-nodes sit at most a few stream
+        # rows above the lane entry).
         if W > 0:
             pre = starts[:, None] - W + np.arange(W)[None, :]
             pre_cl = np.clip(pre, 0, self.num_nodes - 1)
-            seed_states = jnp.asarray(host_states[pre_cl])
-            seed_ptrs = jnp.asarray(host_ptrs[pre_cl])
+            seed_rel = (host_ptrs[pre_cl]
+                        - (base.astype(np.int64) << ROW_SHIFT)[:, None])
+            if seed_rel.size and int(seed_rel.max()) >= 1 << 31:
+                raise ValueError(
+                    "a decode lane spans >= 2^31 stream words; use more lanes")
             ring = seed_rings(
-                self.params, self.tables, seed_states,
-                seed_ptrs, jnp.asarray(starts), W)
+                self.params, self.tables, jnp.asarray(host_states[pre_cl]),
+                jnp.asarray(seed_rel.astype(np.int32)), jnp.asarray(starts),
+                W, base_d)
         else:
             ring = jnp.zeros((len(starts), 1), jnp.int32)
 
         lane_states = jnp.asarray(host_states[np.minimum(starts, self.num_nodes - 1)])
-        lane_ptrs = jnp.asarray(host_ptrs[np.minimum(starts, self.num_nodes - 1)])
+        lane_ptrs = jnp.asarray(rel)
 
         if cap is None:
             # ~2.05 tokens per arc + 3 per node is a generous upper estimate
             # for BvGraph token streams; overflow doubles and retries.
             est = (2 * self.num_arcs + 3 * self.num_nodes) // max(len(starts), 1)
             cap = max(64, int(est * 1.3))
-        cap = -(-cap // UNROLL) * UNROLL
+        cap = round_cap(self.params, cap)
         while True:
             out, counts, ok = decode_blocks(
                 self.params, self.tables, lane_states,
                 lane_ptrs, jnp.asarray(starts), jnp.asarray(ends), ring,
-                W, self.min_interval, cap)
+                W, self.min_interval, cap, base_d)
             if bool(np.all(np.asarray(ok))):
                 break
             cap *= 2
+        return out, counts, cap
+
+    def decode_tokens(self, num_lanes: int = 256, cap: int | None = None):
+        """Decodes every (component, value) token of the graph, lane-parallel
+        over `num_lanes` contiguous node blocks. Returns (values u32,
+        comps i8) concatenated in forward node order (host arrays)."""
+        out, counts, cap = self.decode_raw(num_lanes, cap)
         return fetch_block_tokens(out, counts, cap)
+
+    def decode_to_csr_device(self, num_lanes: int = 4096,
+                             cap: int | None = None):
+        """Full end-to-end decode on device: token decode + successor
+        reconstruction with no host transfer of the token buffer. Returns
+        (offsets [n+1] i32 device, succs [Epad] i32 device, E) — the
+        successor lists are succs[:E]. The device-side analog of the
+        reference's sequential scan + BvGraph reconstruction."""
+        from .reconstruct_device import reconstruct_device
+
+        out, counts, cap = self.decode_raw(num_lanes, cap)
+        return reconstruct_device(out, self.num_nodes, self.num_arcs, cap,
+                                  self.min_interval)

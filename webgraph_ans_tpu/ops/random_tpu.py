@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from ..bvgraph.graph import Adjacency
 from .graph_decode import TpuGraphDecoder
-from .decode_jax import UNROLL, decode_blocks, seed_rings
+from .decode_jax import UNROLL, decode_blocks, round_cap, seed_rings
 from .reconstruct_jax import reconstruct
 
 
@@ -55,7 +55,7 @@ class TpuRandomAccess:
                               starts, W)
         else:
             ring = jnp.zeros((L, 1), jnp.int32)
-        cap = -(-cap // UNROLL) * UNROLL
+        cap = round_cap(d.params, cap)
         while True:
             out, counts, ok = decode_blocks(
                 d.params, d.tables,

@@ -21,8 +21,8 @@ import jax.numpy as jnp
 
 from ..bvgraph.random_access import ANSBvGraph
 from ..ops.graph_decode import TpuGraphDecoder
-from ..ops.decode_jax import (UNROLL, decode_blocks, fetch_block_tokens,
-                              seed_rings)
+from ..ops.decode_jax import (decode_blocks, fetch_block_tokens,
+                              round_cap, seed_rings)
 from ..ops.reconstruct_jax import reconstruct
 
 
@@ -75,7 +75,7 @@ class MultihostGraphDecoder:
             ring = jnp.zeros((len(starts), 1), jnp.int32)
         est = max((2 * d.num_arcs + 3 * d.num_nodes)
                   // max(d.num_nodes, 1) * max(span // len(starts), 1), 8)
-        cap = -(-int(est * 2 + 64) // UNROLL) * UNROLL
+        cap = round_cap(d.params, int(est * 2 + 64))
         while True:
             out, counts, ok = decode_blocks(
                 d.params, d.tables, jnp.asarray(hs[safe]),

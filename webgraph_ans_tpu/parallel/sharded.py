@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
-from ..ops.decode_jax import (UNROLL, DecoderTables, decode_blocks,
+from ..ops.decode_jax import (DecoderTables, decode_blocks, round_cap,
                               seed_rings)
 
 
@@ -136,7 +136,7 @@ class ShardedGraphDecoder:
         if cap is None:
             est = (2 * s.num_arcs + 3 * s.num_nodes) // max(len(starts), 1)
             cap = max(64, int(est * 1.3))
-        cap = -(-cap // UNROLL) * UNROLL
+        cap = round_cap(s.params, cap)
         from ..ops.decode_jax import fetch_block_tokens
         while True:
             out, counts, ok = sharded_decode_blocks(

@@ -61,6 +61,10 @@ def _declare(lib: ctypes.CDLL) -> None:
             [u64, u64p, u32p, u32, u32, u32,
              u64p, u64p, u32p, u32p,
              u16p, u64p, u32p, u32p, u32p], void_p),
+        "wgt_bvcomp_encode_spill": (
+            [u64, u64p, u32p, u32, u32, u32,
+             u64p, u64p, u32p, u32p,
+             u16p, u64p, u32p, u32p, u32p, c.c_char_p, u64], void_p),
         "wgt_bvcomp_tokens": (
             [u64, u64p, u32p, u32, u32, u32, u64p, u64p, u32p, u32p], void_p),
         "wgt_tok_count": ([void_p], u64),
@@ -76,6 +80,9 @@ def _declare(lib: ctypes.CDLL) -> None:
         "wgt_enc_free": ([void_p], None),
         "wgt_ans_decode_seq": (
             [u16p, u64, u32, u64, u64, u32, u32, u16p, u64p, u32p, u32p, u32p], void_p),
+        "wgt_ans_decode_seq_blocks": (
+            [u16p, u32p, u32p, u64p, u64, u64, u32, u32,
+             u16p, u64p, u32p, u32p, u32p], void_p),
         "wgt_ans_decode_random": (
             [u16p, u64, u32p, u64p, u64, u32, u32,
              u16p, u64p, u32p, u32p, u32p, u64p, u64], void_p),
