@@ -1,24 +1,37 @@
-"""Device-side successor-list reconstruction (full graph).
+"""Device-side successor-list reconstruction (full graph), scan-first.
 
-The numpy pipeline in reconstruct_jax.py parses tokens on the host, which
-costs a device->host transfer of the whole token buffer plus a host pass.
-This module keeps everything on device: decode_blocks output -> CSR
-adjacency, as a handful of jits over static shapes (the reference
-capability being replaced is the successor reconstruction machinery of
-webgraph's BvGraph, executable spec: native/src/bvgraph.hpp
+Turns decode_blocks token output into a CSR adjacency entirely on device.
+The reference capability being replaced is the successor reconstruction
+machinery of webgraph's BvGraph (executable spec: native/src/bvgraph.hpp
 read_successors; SURVEY.md section 2.2).
 
-TPU-first layout choices (same measured rules as ops/decode_jax.py):
-- the token stream stays in its padded lane-major [L*cap] layout; every
-  per-node quantity is a difference of running cumsums gathered at the
-  n node-start positions (O(P) scans + O(n) gathers), NOT token-sized
-  scatters;
-- interval/copy expansion uses scatter-at-run-starts + cummax forward
-  fill + one row gather per element (no log-P searchsorted chains);
-- expansion buffer sizes quantize to powers of two, so the jits compile
-  a handful of shapes per graph family;
-- copy resolution is the same gather + two-key segment sort rounds as
-  the host path, entirely on device.
+Design is driven by the measured v5e primitive costs (tools/probe_prims.py):
+elementwise ops and cumsums over the P-token buffer are ~free (<0.2 ms at
+10M elements), while every P-sized gather / scatter / sort costs ~5-15
+ns/element. The previous implementation spent ~2.3 s in a dozen P-sized
+gathers and scatters; this one bounds the expensive-op inventory to:
+
+- ONE P-scatter to find per-node start positions (sp),
+- ONE combined P-scatter that simultaneously places residual values into
+  the successor buffer and seeds the interval/copy run-expansion channels
+  (the three index regions are disjoint token classes),
+- one gather per expansion (interval values at run tokens, copy-source
+  bases at run tokens),
+- one 2-key segment sort per copy-resolution round, with the round
+  gathers/scatters sliced by reference-chain depth so their total work is
+  O(copied elements), not O(copied x depth).
+
+Everything else is built from two scan identities that replace per-token
+gathers of per-node tables:
+
+- inject-reset local cumsum: cumsum(contrib + scatter_at_node_start(
+  -prev_node_total)) yields the within-node running sum directly. This is
+  exact under int32 wraparound (the global cumsum may wrap; per-node
+  injections are computed from wrapped differences, which are exact mod
+  2^32, and all local values fit in int31).
+- delta broadcast: to broadcast per-node table values to token/element
+  positions, scatter successive differences at the node region starts and
+  cumsum. Works for arbitrary (non-monotone) values; n-scale scatter only.
 
 Component ids: 0 outdegree, 1 reference, 2 block count, 3 block,
 4 interval count, 5 interval start, 6 interval len, 7 first residual,
@@ -43,62 +56,106 @@ def _nat2int(v):
     return jnp.where(v & 1 == 1, -((v >> 1) + 1), v >> 1)
 
 
+def _quant(x: int) -> int:
+    """Buffer-size quantizer: smallest m<<k >= x with m in 4..7 (i.e. 1,
+    1.25, 1.5, 1.75 x a power of two), minimum 16. Gather/scatter/sort
+    cost scales with the padded size, so <=25% waste beats pow2's <=100%,
+    while the compile-shape count stays bounded (4 shapes per octave)."""
+    x = max(int(x), 16)
+    k = max(x.bit_length() - 3, 0)
+    return -(-x >> k) << k
+
+
 def _pow2(x: int) -> int:
     return max(1 << (max(int(x) - 1, 1)).bit_length(), 16)
 
 
-@functools.partial(jax.jit, static_argnames=("num_nodes", "cap", "Epad",
-                                             "min_interval"))
-def parse_tokens(out, num_nodes: int, cap: int, Epad: int,
-                 min_interval: int):
-    """Parses decode_blocks output into per-node fields and prefills the
-    residual region of the successor buffer. Returns a dict of device
-    arrays; `ok` is False if the token stream is inconsistent."""
-    n = num_nodes
-    L = out.shape[1]
-    P = L * cap
+def _unpack(out, cap: int):
+    """decode_blocks output -> lane-major flat (v, nib) token arrays."""
     vals2d = out[:cap]
     cpk = out[cap:]
     steps = jnp.arange(cap)
     nib2d = (cpk[steps // UNROLL] >> ((steps % UNROLL) * 4)[:, None]) & 0xF
-    v = vals2d.T.reshape(-1).astype(I32)          # [P]
-    nib = nib2d.T.reshape(-1).astype(I32)         # [P]
+    v = vals2d.T.reshape(-1).astype(I32)
+    nib = nib2d.T.reshape(-1).astype(I32)
+    return v, nib
+
+
+def _excl(cs):
+    """exclusive cumulative from an inclusive one (prepend 0)."""
+    return jnp.concatenate([jnp.zeros(1, cs.dtype), cs])
+
+
+def _bcast_runs(size: int, starts_n, vals_n, mask_n):
+    """Broadcast vals_n[i] over [starts_n[i], starts_n[next masked i]) of a
+    length-`size` array for masked nodes (0 before the first): n-scale
+    argsort + scatter of successive deltas, then a free cumsum. Valid for
+    arbitrary int32 values (delta chain telescopes)."""
+    key = jnp.where(mask_n, starts_n, size)
+    order = jnp.argsort(key)
+    sv = vals_n[order]
+    st = key[order]
+    delta = sv - jnp.concatenate([jnp.zeros(1, I32), sv[:-1]])
+    arr = jnp.zeros(size, I32).at[st].add(
+        jnp.where(st < size, delta, 0), mode="drop")
+    return jnp.cumsum(arr)
+
+
+@functools.partial(jax.jit, static_argnames=("num_nodes", "cap",
+                                             "min_interval"))
+def parse_stats(out, num_nodes: int, cap: int, min_interval: int):
+    """Pass 1: per-node statistics (all n-scale after one P-scatter for
+    sp). Returns the flat token arrays, node tables, and a small meta
+    vector [ok, total_iv, total_cop, max_depth, hist64...] for one host
+    fetch."""
+    n = num_nodes
+    v, nib = _unpack(out, cap)
+    P = v.shape[0]
     pos = jnp.arange(P, dtype=I32)
 
     is_out = nib == 0
-    node_of = jnp.cumsum(is_out.astype(I32)) - 1  # [P]
-    nd = jnp.clip(node_of, 0, n - 1)
-    # node start positions (position of each outdegree token); invalid
-    # lane-tail rows belong to the preceding node and are always masked
-    sp = jnp.full((n,), P - 1, I32).at[
-        jnp.where(is_out, node_of, n)].set(pos, mode="drop")
+    nd = jnp.clip(jnp.cumsum(is_out.astype(I32)) - 1, 0, n - 1)
+
+    # Node start positions: position of each node's outdegree token.
+    # nd is nondecreasing, so this is the one P-scatter of the stats pass.
+    sp = jnp.full((n,), P - 1, I32).at[nd].min(
+        jnp.where(is_out, pos, P - 1), indices_are_sorted=True, mode="drop")
     spx = jnp.concatenate([sp, jnp.full((1,), P, I32)])
 
-    def excl(cs):
-        """exclusive cumulative: excl(cs)[p] = sum over positions < p."""
-        return jnp.concatenate([jnp.zeros(1, I32), cs])
-
     def node_sum(mask, val):
-        """Per-node sum of val over the node's masked tokens (one O(P)
-        scan + two O(n) gathers — never a token-sized scatter)."""
-        csx = excl(jnp.cumsum(jnp.where(mask, val, 0)))
+        """Per-node sum of val over the node's masked tokens: one free
+        P-cumsum + two n-scale gathers. Exact under int32 wraparound."""
+        csx = _excl(jnp.cumsum(jnp.where(mask, val, 0)))
         return csx[spx[1:]] - csx[spx[:-1]]
 
-    # Fields at fixed offsets from the node start.
-    vx = jnp.concatenate([v, jnp.zeros(3, I32)])
-    nibx = jnp.concatenate([nib, jnp.full(3, 0xF, I32)])
-    d = vx[sp]
-    ref = jnp.where(nibx[sp + 1] == 1, vx[sp + 1], 0)
+    # Fields at fixed offsets from the node start (guarded by padding).
+    vxp = jnp.concatenate([v, jnp.zeros(3, I32)])
+    nibp = jnp.concatenate([nib, jnp.full(3, 0xF, I32)])
+    d = vxp[sp]
+    ref = jnp.where(nibp[sp + 1] == 1, vxp[sp + 1], 0)
     has_ref = ref > 0
-    bc = jnp.where(has_ref & (nibx[sp + 2] == 2), vx[sp + 2], 0)
+    bc = jnp.where(has_ref & (nibp[sp + 2] == 2), vxp[sp + 2], 0)
 
+    def local_cumsum(mask, contrib):
+        """Within-node inclusive running sum via inject-reset: scatter
+        -delta(node base) at node starts so the global cumsum resets to
+        the node-local value. Injections accumulate through the cumsum,
+        so each node injects the DELTA of bases (= previous node's
+        total), not its absolute base. Exact under int32 wraparound."""
+        masked = jnp.where(mask, contrib, 0)
+        base = _excl(jnp.cumsum(masked))[sp]
+        delta = base - jnp.concatenate([jnp.zeros(1, I32), base[:-1]])
+        inj = jnp.zeros(P, I32).at[sp].add(-delta)
+        return jnp.cumsum(masked + inj)
+
+    # Block lengths: first block's length is v, later blocks v+1
+    # (native/src/bvgraph.hpp read_successors).
     is_blk = nib == 3
-    # index of each block token within its node
-    cs_blk = jnp.cumsum(is_blk.astype(I32))
-    blk_idx = cs_blk - 1 - excl(cs_blk)[sp][nd]
-    b = v + (blk_idx > 0).astype(I32)             # valid at blk tokens
+    blk_idx = local_cumsum(is_blk, jnp.ones(P, I32)) - 1
+    b = v + (blk_idx > 0).astype(I32)
     blocks_sum = node_sum(is_blk, b)
     ncop_blocks = node_sum(is_blk & (blk_idx % 2 == 0), b)
+
     parent = jnp.clip(jnp.arange(n, dtype=I32) - ref, 0, n - 1)
     d_ref = jnp.where(has_ref, d[parent], 0)
     tail_len = jnp.where(has_ref & (bc % 2 == 0), d_ref - blocks_sum, 0)
@@ -107,158 +164,180 @@ def parse_tokens(out, num_nodes: int, cap: int, Epad: int,
     is_il = nib == 6
     niv_tot = node_sum(is_il, v + min_interval)
     is_fr = nib == 7
-    is_res8 = nib == 8
-    nres = node_sum(is_fr | is_res8, jnp.ones((P,), I32))
+    nres = node_sum(is_fr | (nib == 8), jnp.ones(P, I32))
 
     ok = jnp.all(ncop + niv_tot + nres == d)
+    offsets = jnp.concatenate([jnp.zeros(1, I32), jnp.cumsum(d)])
 
-    offsets = jnp.concatenate([jnp.zeros(1, I32), jnp.cumsum(d)])  # [n+1]
+    # Reference-chain depth: parent depth + 1, resolved as a wavefront
+    # (n-scale; depth(parent) == depth(child) - 1 by construction).
+    depth0 = jnp.where(has_ref, -1, 0)
 
-    # ---- residual prefill (token-side; residual tokens are contiguous
-    # per node: FR then gap runs) ----
-    m = is_fr | is_res8
-    contrib = jnp.where(is_fr, node_of + _nat2int(v), v + 1)
-    c = jnp.cumsum(jnp.where(m, contrib, 0))
-    res_val = c - excl(c)[sp][nd]
-    cm = jnp.cumsum(m.astype(I32))
-    rank = cm - 1 - excl(cm)[sp][nd]
-    dest = offsets[nd] + ncop[nd] + niv_tot[nd] + rank
-    succs = jnp.zeros((Epad,), I32).at[
-        jnp.where(m, dest, Epad)].set(res_val, mode="drop")
+    def dcond(carry):
+        dep, k = carry
+        return jnp.any(dep < 0) & (k < n)
 
-    # ---- interval lefts (at IS tokens) ----
+    def dbody(carry):
+        dep, k = carry
+        pd = dep[parent]
+        return jnp.where((dep < 0) & (pd == k), k + 1, dep), k + 1
+
+    depth, _ = jax.lax.while_loop(dcond, dbody, (depth0, jnp.zeros((), I32)))
+
+    hist = jnp.zeros(64, I32).at[jnp.clip(depth, 0, 63)].add(ncop)
+    meta = jnp.concatenate([
+        jnp.stack([ok.astype(I32), jnp.sum(niv_tot), jnp.sum(ncop),
+                   jnp.max(depth)]), hist])
+    return dict(v=v, nib=nib, sp=sp, d=d, offsets=offsets, ncop=ncop,
+                niv_tot=niv_tot, parent=parent, depth=depth,
+                blocks_sum=blocks_sum, tail_len=tail_len, bc=bc,
+                has_ref=has_ref, meta=meta)
+
+
+@functools.partial(jax.jit, static_argnames=("Epad", "Ecap", "Ccap",
+                                             "min_interval"))
+def place(v, nib, sp, offsets, ncop, niv_tot, tail_len,
+          Epad: int, Ecap: int, Ccap: int, min_interval: int):
+    """Pass 2: the combined placement scatter. Residual values land at
+    their final grouped slots in succs[:Epad]; interval/copy run channels
+    (buf[Epad:]) record each run's token position for later expansion.
+    Also returns the per-token value tables the expansions gather from."""
+    P = v.shape[0]
+    n = sp.shape[0]
+    pos = jnp.arange(P, dtype=I32)
+    is_out = nib == 0
+    nd = jnp.clip(jnp.cumsum(is_out.astype(I32)) - 1, 0, n - 1)
+
+    def local_cumsum(mask, contrib):
+        """Within-node inclusive running sum via inject-reset (see
+        parse_stats); injects the DELTA of node bases, exact mod 2^32."""
+        masked = jnp.where(mask, contrib, 0)
+        base = _excl(jnp.cumsum(masked))[sp]
+        delta = base - jnp.concatenate([jnp.zeros(1, I32), base[:-1]])
+        inj = jnp.zeros(P, I32).at[sp].add(-delta)
+        return jnp.cumsum(masked + inj)
+
+    def bcast_sp(vals_n):
+        """Broadcast a per-node value to all its token positions."""
+        delta = vals_n - jnp.concatenate([jnp.zeros(1, I32), vals_n[:-1]])
+        return jnp.cumsum(jnp.zeros(P, I32).at[sp].add(delta))
+
+    # ---- residuals: value = local cumsum of (first: node + nat2int,
+    # gaps: v+1); dest = offsets+ncop+niv_tot base + residual rank ----
+    is_fr = nib == 7
+    m = is_fr | (nib == 8)
+    res_val = local_cumsum(m, jnp.where(is_fr, nd + _nat2int(v), v + 1))
+    rank = local_cumsum(m, jnp.ones(P, I32)) - 1
+    dest_r = bcast_sp(offsets[:n] + ncop + niv_tot) + rank
+
+    # ---- interval runs: left values at IS tokens; run channel seeded at
+    # IL tokens with the token position ----
+    is_il = nib == 6
+    ilen = v + min_interval
+    live_il = is_il & (ilen > 0)
+    cum_iv = jnp.cumsum(jnp.where(is_il, ilen, 0))     # global element idx
+    cum_excl_iv = cum_iv - jnp.where(is_il, ilen, 0)
     is_is = nib == 5
     prev_nib = jnp.concatenate([jnp.full(1, 0xF, I32), nib[:-1]])
     prev_v = jnp.concatenate([jnp.zeros(1, I32), v[:-1]])
     first_iv = is_is & (prev_nib == 4)
-    bcontrib = jnp.where(first_iv, node_of + _nat2int(v),
-                         v + 1 + prev_v + min_interval)
-    c2 = jnp.cumsum(jnp.where(is_is, bcontrib, 0))
-    lefts = c2 - excl(c2)[sp][nd]                 # valid at IS tokens
+    lefts = local_cumsum(is_is, jnp.where(
+        first_iv, nd + _nat2int(v), v + 1 + prev_v + min_interval))
+    lefts_prev = jnp.concatenate([jnp.zeros(1, I32), lefts[:-1]])
+    # element t of the run at token p has value adj_val[p] + t
+    adj_val = lefts_prev - cum_excl_iv
 
-    # interval-element cumulative (for run expansion) and per-node base
-    cum_iv = jnp.cumsum(jnp.where(is_il, v + min_interval, 0))
-    node_iv_base = excl(cum_iv)[sp]
+    # ---- copy runs (even-indexed blocks with positive length; the
+    # reference-tail run is n-scale and handled in build_plan) ----
+    is_blk = nib == 3
+    blk_idx = local_cumsum(is_blk, jnp.ones(P, I32)) - 1
+    b = v + (blk_idx > 0).astype(I32)
+    own = is_blk & (blk_idx % 2 == 0) & (b > 0)
+    cop_own = jnp.where(own, b, 0)
+    cum_own = jnp.cumsum(cop_own)                      # own elements only
+    cum_excl_own = cum_own - cop_own
+    # element index accounts for tails of earlier nodes
+    tail_bb = bcast_sp(_excl(jnp.cumsum(tail_len))[:n])
+    own_start = cum_excl_own + tail_bb
+    # start of this block within the REFERENCED list: local running sum of
+    # block lengths before this token
+    blk_run_start = local_cumsum(is_blk, b) - jnp.where(is_blk, b, 0)
+    # element t of the run at token p copies parent slot Btok[p] + t
+    Btok = blk_run_start - own_start
 
-    # copy-element cumulative: even-indexed block runs copy; an even block
-    # count also copies the reference tail (bvgraph.hpp:69-82). The tail
-    # attaches to the node's LAST block token (which may also carry its
-    # own copy run), or to the BC token when bc == 0 (whole-list copy).
-    is_bc_tok = nib == 2
-    nd_ref = has_ref[nd]
-    tail_at_bc = is_bc_tok & (v == 0) & nd_ref
-    last_blk = is_blk & (blk_idx == bc[nd] - 1)
-    tail_here = jnp.where(tail_at_bc | (last_blk & (bc[nd] % 2 == 0)),
-                          tail_len[nd], 0)
-    cop_own = jnp.where(is_blk & (blk_idx % 2 == 0), b, 0)
-    cop_here = cop_own + tail_here
-    cum_cop = jnp.cumsum(cop_here)
-    csx_cop = jnp.concatenate([jnp.zeros(1, I32), cum_cop])
-    node_cop_base = csx_cop[sp[:n]]
-    # start position of each block run within the REFERENCED list
-    # (= running sum of block lengths before this block token)
-    cs_b = jnp.cumsum(jnp.where(is_blk, b, 0))
-    node_b_base = jnp.concatenate([jnp.zeros(1, I32), cs_b])[sp[:n]]
-    blk_run_start = (cs_b - jnp.where(is_blk, b, 0)) - node_b_base[nd]
-
-    # ---- reference-chain depths ----
-    depth0 = jnp.where(has_ref, -1, 0)
-
-    def dcond(carry):
-        depth, k = carry
-        return jnp.any(depth < 0) & (k < n)
-
-    def dbody(carry):
-        depth, k = carry
-        pd = depth[parent]
-        depth = jnp.where((depth < 0) & (pd == k), k + 1, depth)
-        return depth, k + 1
-
-    depth, _ = jax.lax.while_loop(dcond, dbody, (depth0, jnp.zeros((), I32)))
-    max_depth = jnp.max(depth)
-
-    # segment id per successor slot
-    seg = jnp.cumsum(jnp.zeros((Epad,), I32).at[
-        jnp.where(offsets[1:n + 1] < Epad, offsets[1:n + 1], Epad)
-    ].add(1, mode="drop"))  # slot e -> node (0-based; slots >= E get n..)
-
-    return dict(
-        v=v, nib=nib, node_of=nd, offsets=offsets, seg=seg, succs=succs,
-        d=d, ref=ref, parent=parent, ncop=ncop, niv_tot=niv_tot,
-        depth=depth, max_depth=max_depth, ok=ok,
-        lefts=lefts, cum_iv=cum_iv, node_iv_base=node_iv_base,
-        total_iv=cum_iv[-1],
-        cop_own=cop_own, cop_here=cop_here, cum_cop=cum_cop,
-        node_cop_base=node_cop_base, blk_run_start=blk_run_start,
-        blocks_sum=blocks_sum, total_cop=cum_cop[-1],
-    )
+    # ---- the combined scatter: three disjoint token classes, three
+    # disjoint index regions ----
+    BIG = Epad + Ecap + Ccap
+    idx = jnp.where(m, dest_r,
+          jnp.where(live_il, Epad + cum_excl_iv,
+          jnp.where(own, Epad + Ecap + own_start, BIG)))
+    val = jnp.where(m, res_val, pos + 1)
+    buf = jnp.zeros(BIG, I32).at[idx].set(val, mode="drop")
+    return buf, adj_val, Btok
 
 
-def _ffill_token_index(starts_mask, token_pos, cap_size: int, cum_excl):
-    """Scatter each run's token position at its first element index
-    (cum_excl, the exclusive cumulative of run lengths), then forward-fill
-    with cummax: element t -> the token position of its run."""
-    arr = jnp.full((cap_size,), -1, I32).at[
-        jnp.where(starts_mask, cum_excl, cap_size)
-    ].set(jnp.where(starts_mask, token_pos, -1), mode="drop")
-    return jax.lax.cummax(arr)
-
-
-@functools.partial(jax.jit, static_argnames=("Ecap", "Epad", "min_interval"))
-def expand_intervals(pr, Ecap: int, Epad: int, min_interval: int):
-    """Fills the interval region of the successor buffer: one forward-fill
-    over Ecap elements + row gathers at the owning IL token."""
-    v, nib = pr["v"], pr["nib"]
-    is_il = nib == 6
-    P = v.shape[0]
-    pos = jnp.arange(P, dtype=I32)
-    cum_excl = pr["cum_iv"] - jnp.where(is_il, v + min_interval, 0)
-    p_t = _ffill_token_index(is_il & (v + min_interval > 0), pos, Ecap,
-                             cum_excl)
-    p_t = jnp.clip(p_t, 0, P - 1)
+@functools.partial(jax.jit, static_argnames=("Epad", "Ecap"))
+def expand_intervals(succs, ch_iv, adj_val, offsets, ncop, niv_tot,
+                     total_iv, Epad: int, Ecap: int):
+    """Interval expansion: forward-fill the run channel (token position of
+    each element's run), one Ecap-from-P gather of the run's value base,
+    one Ecap scatter into succs."""
+    n = ncop.shape[0]
     t = jnp.arange(Ecap, dtype=I32)
-    maskt = t < pr["total_iv"]
-    node_t = pr["node_of"][p_t]
-    run_start_cum = cum_excl[p_t]
-    left_t = pr["lefts"][jnp.maximum(p_t - 1, 0)]   # IS precedes IL
-    val_t = left_t + (t - run_start_cum)
-    offsets, ncop = pr["offsets"], pr["ncop"]
-    dest = offsets[node_t] + ncop[node_t] + (t - pr["node_iv_base"][node_t])
-    return pr["succs"].at[jnp.where(maskt, dest, Epad)].set(
-        val_t, mode="drop")
+    p_t = jnp.clip(jax.lax.cummax(ch_iv) - 1, 0, adj_val.shape[0] - 1)
+    node_iv_base = _excl(jnp.cumsum(niv_tot))[:n]
+    # dest = offsets[node] + ncop[node] + (t - node_iv_base[node])
+    dest_ff = _bcast_runs(Ecap, node_iv_base,
+                          offsets[:n] + ncop - node_iv_base, niv_tot > 0)
+    live = t < total_iv
+    return succs.at[jnp.where(live, dest_ff + t, Epad)].set(
+        adj_val[p_t] + t, mode="drop")
 
 
-@functools.partial(jax.jit, static_argnames=("Ccap",))
-def build_copy_plan(pr, Ccap: int):
-    """Expands copy runs into (dest slot, src slot, depth) triples of the
-    copied elements, via the same scatter + forward-fill trick."""
-    v, nib = pr["v"], pr["nib"]
-    P = v.shape[0]
-    pos = jnp.arange(P, dtype=I32)
-    cop_here = pr["cop_here"]
-    cum_excl = pr["cum_cop"] - cop_here
-    p_t = _ffill_token_index(cop_here > 0, pos, Ccap, cum_excl)
-    p_t = jnp.clip(p_t, 0, P - 1)
+@functools.partial(jax.jit, static_argnames=("Ccap", "Epad"))
+def build_plan(ch_own, Btok, offsets, ncop, tail_len, blocks_sum, parent,
+               depth, total_cop, Ccap: int, Epad: int):
+    """Copy plan: for each copied element, (depth key, dest slot, source
+    slot in the FINAL sorted successor array), sorted by depth so the
+    resolution rounds can slice their own depth's elements. One
+    Ccap-from-P gather + one 3-operand Ccap sort; per-node values arrive
+    by delta broadcast (n-scale)."""
+    n = ncop.shape[0]
     t = jnp.arange(Ccap, dtype=I32)
-    maskt = t < pr["total_cop"]
-    node_t = pr["node_of"][p_t]
-    # a token's combined run = [own even-indexed block run | tail]; the
-    # own part copies from blk_run_start, the tail from blocks_sum
-    intra = t - cum_excl[p_t]
-    own_len = pr["cop_own"][p_t]
-    in_tail = intra >= own_len
-    refpos = jnp.where(in_tail,
-                       pr["blocks_sum"][node_t] + (intra - own_len),
-                       pr["blk_run_start"][p_t] + intra)
-    offsets, parent = pr["offsets"], pr["parent"]
-    rank = t - pr["node_cop_base"][node_t]
-    cop_slot = offsets[node_t] + rank
-    cop_src = offsets[parent[node_t]] + refpos
-    cop_depth = jnp.where(maskt, pr["depth"][node_t], -1)
-    Epad = pr["succs"].shape[0]
-    cop_slot = jnp.where(maskt, cop_slot, Epad - 1)
-    cop_src = jnp.where(maskt, cop_src, Epad - 1)
-    return cop_slot, cop_src, cop_depth
+    live = t < total_cop
+    p_t = jnp.clip(jax.lax.cummax(ch_own) - 1, 0, Btok.shape[0] - 1)
+
+    node_cop_base = _excl(jnp.cumsum(ncop))[:n]
+    cmask = ncop > 0
+    par_off = offsets[parent]
+    # element is in the reference-tail run iff t >= tail element start
+    thr = _bcast_runs(Ccap, node_cop_base, node_cop_base + ncop - tail_len,
+                      cmask)
+    in_tail = t >= thr
+    # own runs: src = par_off + Btok[run] + t; tail: src = par_off +
+    # blocks_sum + (t - tail_start)
+    par_el = _bcast_runs(Ccap, node_cop_base, par_off, cmask)
+    pob_el = _bcast_runs(Ccap, node_cop_base, par_off + blocks_sum, cmask)
+    dep_el = _bcast_runs(Ccap, node_cop_base, depth, cmask)
+    slot_base = _bcast_runs(Ccap, node_cop_base,
+                            offsets[:n] - node_cop_base, cmask)
+    src = jnp.where(in_tail, pob_el + (t - thr), par_el + Btok[p_t] + t)
+    slot = slot_base + t
+    dkey = jnp.where(live, dep_el, jnp.int32(1 << 30))
+    slot = jnp.where(live, slot, Epad)
+    src = jnp.where(live, jnp.clip(src, 0, Epad - 1), 0)
+    return jax.lax.sort((dkey, slot, src), num_keys=1)
+
+
+@jax.jit
+def build_seg(offsets, succs):
+    """Segment id (owning node) per successor slot."""
+    Epad = succs.shape[0]
+    n = offsets.shape[0] - 1
+    bumps = jnp.zeros(Epad, I32).at[
+        jnp.where(offsets[1:n + 1] < Epad, offsets[1:n + 1], Epad)
+    ].add(1, mode="drop")
+    return jnp.cumsum(bumps)
 
 
 @jax.jit
@@ -268,10 +347,14 @@ def sort_segments(seg, s):
 
 
 @jax.jit
-def fill_round(s, cslot, csrc, cdepth, k):
-    take = cdepth == k
-    vals = jnp.where(take, s[csrc], s[cslot])
-    return s.at[cslot].set(vals)
+def fill_slice(succs, F, slot_sl, src_sl, cnt):
+    """Resolve one depth round's copy elements: gather sources from the
+    sorted array F, scatter into the grouped succs at their slots."""
+    M = slot_sl.shape[0]
+    vals = F[src_sl]
+    idx = jnp.where(jnp.arange(M, dtype=I32) < cnt, slot_sl,
+                    succs.shape[0])
+    return succs.at[idx].set(vals, mode="drop")
 
 
 def reconstruct_device(out, num_nodes: int, num_arcs: int, cap: int,
@@ -283,26 +366,51 @@ def reconstruct_device(out, num_nodes: int, num_arcs: int, cap: int,
     token streams. Reference capability: webgraph BvGraph successor
     machinery (SURVEY.md section 2.2)."""
     n, E = num_nodes, int(num_arcs)
-    Epad = _pow2(E + 1)
-    pr = parse_tokens(out, n, cap, Epad, min_interval)
-    if not bool(pr["ok"]):
+    st = parse_stats(out, n, cap, min_interval)
+    meta = np.asarray(st["meta"])
+    if not bool(meta[0]):
         raise ValueError("token stream inconsistent")
-    total_iv = int(pr["total_iv"])
-    total_cop = int(pr["total_cop"])
-    max_depth = int(pr["max_depth"])
+    total_iv, total_cop, max_depth = int(meta[1]), int(meta[2]), int(meta[3])
+    hist = meta[4:]
 
-    succs = pr["succs"]
+    Epad = _quant(E + 1)
+    Ecap = _quant(total_iv)
+    Ccap = _quant(total_cop)
+    buf, adj_val, Btok = place(
+        st["v"], st["nib"], st["sp"], st["offsets"], st["ncop"],
+        st["niv_tot"], st["tail_len"], Epad, Ecap, Ccap, min_interval)
+    succs = buf[:Epad]
     if total_iv:
         succs = expand_intervals(
-            {**pr}, _pow2(total_iv), Epad, min_interval)
-    seg = pr["seg"]
-    succs = sort_segments(seg, succs)
+            succs, buf[Epad:Epad + Ecap], adj_val, st["offsets"],
+            st["ncop"], st["niv_tot"], jnp.int32(total_iv), Epad, Ecap)
+    seg = build_seg(st["offsets"], succs)
+    F = sort_segments(seg, succs)
     if total_cop and max_depth > 0:
-        pr2 = {**pr, "succs": succs}
-        cop_slot, cop_src, cop_depth = build_copy_plan(
-            pr2, _pow2(total_cop))
-        for k in range(1, max_depth + 1):
-            succs = fill_round(succs, cop_slot, cop_src, cop_depth,
-                               jnp.int32(k))
-            succs = sort_segments(seg, succs)
-    return pr["offsets"], succs, E
+        dkey, slot_s, src_s = build_plan(
+            buf[Epad + Ecap:], Btok, st["offsets"], st["ncop"],
+            st["tail_len"], st["blocks_sum"], st["parent"], st["depth"],
+            jnp.int32(total_cop), Ccap, Epad)
+        # pad so static-size depth slices never clamp
+        slot_p = jnp.concatenate([slot_s, jnp.full(Ccap, Epad, I32)])
+        src_p = jnp.concatenate([src_s, jnp.zeros(Ccap, I32)])
+        if max_depth < 63:
+            off = 0
+            for k in range(1, max_depth + 1):
+                cnt = int(hist[k])
+                if cnt == 0:
+                    continue
+                M = _quant(cnt)
+                succs = fill_slice(succs, F, slot_p[off:off + M],
+                                   src_p[off:off + M], jnp.int32(cnt))
+                F = sort_segments(seg, succs)
+                off += cnt
+        else:
+            # depth histogram saturates at 64 buckets (hc-style chains):
+            # resolve with unsliced rounds, masking by exact depth
+            for k in range(1, max_depth + 1):
+                take = dkey == k
+                idxs = jnp.where(take, slot_s, Epad)
+                succs = succs.at[idxs].set(F[src_s], mode="drop")
+                F = sort_segments(seg, succs)
+    return st["offsets"], F, E
