@@ -42,6 +42,7 @@ class TpuGraphDecoder:
         # u64 on the host and are rebased to per-lane i32 at decode time.
         self.states = jnp.asarray(graph.states)
         self.pointers = np.asarray(graph.pointers, dtype=np.int64)
+        self._plans: dict[int, dict] = {}
 
     def _lane_bases(self, starts: np.ndarray, ends: np.ndarray):
         """Per-lane (base_rows i32, rel entry ptr i32) for 64-bit streams:
@@ -138,10 +139,16 @@ class TpuGraphDecoder:
             ends[-1] = hi
         return starts, ends
 
-    def decode_raw(self, num_lanes: int = 256, cap: int | None = None):
-        """Lane-parallel token decode of the whole graph; returns the raw
-        DEVICE output (out, counts, cap) of decode_blocks (see
-        ops/decode_jax.py for the layout) — no host transfer."""
+    def plan(self, num_lanes: int) -> dict:
+        """Cached per-lane-count decode plan: lane bounds, rebased entry
+        phases, and the seeded outdegree rings, all device-resident. Built
+        once per (graph, num_lanes); steady-state decode_raw calls then run
+        at kernel cost (no host-side prep). The plan also remembers a
+        tight token cap once a decode has observed the true per-lane
+        counts."""
+        pl = self._plans.get(num_lanes)
+        if pl is not None:
+            return pl
         starts, ends = self._block_bounds(num_lanes)
         W = self.window
         host_states = np.asarray(self.states)
@@ -168,24 +175,47 @@ class TpuGraphDecoder:
         else:
             ring = jnp.zeros((len(starts), 1), jnp.int32)
 
-        lane_states = jnp.asarray(host_states[np.minimum(starts, self.num_nodes - 1)])
-        lane_ptrs = jnp.asarray(rel)
+        # ~2.05 tokens per arc + 3 per node is a generous upper estimate
+        # for BvGraph token streams; overflow doubles and retries.
+        est = (2 * self.num_arcs + 3 * self.num_nodes) // max(len(starts), 1)
+        pl = dict(
+            starts=jnp.asarray(starts), ends=jnp.asarray(ends), ring=ring,
+            states=jnp.asarray(
+                host_states[np.minimum(starts, self.num_nodes - 1)]),
+            ptrs=jnp.asarray(rel), base=base_d,
+            cap=round_cap(self.params, max(64, int(est * 1.3))))
+        self._plans[num_lanes] = pl
+        return pl
 
-        if cap is None:
-            # ~2.05 tokens per arc + 3 per node is a generous upper estimate
-            # for BvGraph token streams; overflow doubles and retries.
-            est = (2 * self.num_arcs + 3 * self.num_nodes) // max(len(starts), 1)
-            cap = max(64, int(est * 1.3))
-        cap = round_cap(self.params, cap)
+    def decode_raw(self, num_lanes: int = 256, cap: int | None = None):
+        """Lane-parallel token decode of the whole graph; returns the raw
+        DEVICE output (out, counts, cap) of decode_blocks (see
+        ops/decode_jax.py for the layout) — no host transfer."""
+        pl = self.plan(num_lanes)
+        auto = cap is None
+        cap = pl["cap"] if auto else round_cap(self.params, cap)
         while True:
             out, counts, ok = decode_blocks(
-                self.params, self.tables, lane_states,
-                lane_ptrs, jnp.asarray(starts), jnp.asarray(ends), ring,
-                W, self.min_interval, cap, base_d)
+                self.params, self.tables, pl["states"], pl["ptrs"],
+                pl["starts"], pl["ends"], pl["ring"],
+                self.window, self.min_interval, cap, pl["base"])
             if bool(np.all(np.asarray(ok))):
                 break
             cap *= 2
+        if auto:
+            pl["cap"] = cap   # remember a successful (possibly grown) cap
         return out, counts, cap
+
+    def tighten_cap(self, num_lanes: int = 256) -> int:
+        """One decode to observe true per-lane token counts, then shrink
+        the plan's cap to the smallest quantum covering them. Every P-scale
+        stage downstream (unpack/parse/place) costs proportionally to
+        cap * lanes, so a tight cap is a direct throughput win."""
+        pl = self.plan(num_lanes)
+        _, counts, _ = self.decode_raw(num_lanes)
+        tight = round_cap(self.params, int(np.asarray(counts).max()))
+        pl["cap"] = min(pl["cap"], tight)
+        return pl["cap"]
 
     def decode_tokens(self, num_lanes: int = 256, cap: int | None = None):
         """Decodes every (component, value) token of the graph, lane-parallel
@@ -194,7 +224,7 @@ class TpuGraphDecoder:
         out, counts, cap = self.decode_raw(num_lanes, cap)
         return fetch_block_tokens(out, counts, cap)
 
-    def decode_to_csr_device(self, num_lanes: int = 4096,
+    def decode_to_csr_device(self, num_lanes: int = 2048,
                              cap: int | None = None):
         """Full end-to-end decode on device: token decode + successor
         reconstruction with no host transfer of the token buffer. Returns
