@@ -58,3 +58,33 @@ def test_random_access_cnr2000(cnr2000):
     got = ra.successors_batch(queries)
     want = g.successors_batch(queries.astype(np.uint64))
     assert got.to_lists() == want.to_lists()
+
+
+def test_csr_server_random_graph():
+    from webgraph_ans_tpu.ops.random_tpu import TpuCsrServer
+
+    rng = np.random.default_rng(11)
+    lists = []
+    for i in range(400):
+        dd = int(rng.integers(0, 12))
+        lists.append(sorted(rng.choice(400, size=dd, replace=False).tolist()))
+    adj = Adjacency.from_lists(lists)
+    res = compress_adjacency(adj, 7, 3, 2)
+    g = ANSBvGraph(res.prelude, res.states, res.pointers)
+    srv = TpuCsrServer(TpuGraphDecoder(g), num_lanes=16)
+    queries = rng.integers(0, 400, size=1000)
+    got = srv.successors_batch(queries)
+    want = g.successors_batch(queries.astype(np.uint64))
+    assert got.to_lists() == want.to_lists()
+
+
+def test_csr_server_empty_rows_and_repeats(dummy_graph):
+    from webgraph_ans_tpu.ops.random_tpu import TpuCsrServer
+
+    res = compress_adjacency(dummy_graph, 7, 3, 2)
+    g = ANSBvGraph(res.prelude, res.states, res.pointers)
+    srv = TpuCsrServer(TpuGraphDecoder(g), num_lanes=4)
+    queries = [5, 5, 0, 3, 3, 3, 1]
+    got = srv.successors_batch(queries)
+    want = g.successors_batch(np.asarray(queries, np.uint64))
+    assert got.to_lists() == want.to_lists()

@@ -263,6 +263,45 @@ def encode_blocks(params, tables: EncoderTables, tokens, tstart, tend,
     return emit, states, final_states, wtotals, ok
 
 
+def encode_plan(model: ANSModel, values: np.ndarray, comps: np.ndarray,
+                num_blocks: int = 512):
+    """Device-ready encode inputs: tables/params, token array, and
+    token-balanced block bounds at node starts. Split out of
+    lane_encode_tokens so callers (bench, servers) can re-run the
+    encode_blocks kernel steady-state against a prepared plan."""
+    values = np.ascontiguousarray(values, dtype=np.uint64)
+    comps = np.ascontiguousarray(comps, dtype=np.uint8)
+    T = len(values)
+    if np.any(values >> 31):
+        raise ValueError("token values must fit in uint31 for the TPU encoder")
+
+    tables, params = build_encoder_tables(model)
+
+    # block boundaries at node starts, balanced in TOKEN space
+    node_starts = np.nonzero(comps == 0)[0]
+    n_nodes = len(node_starts)
+    Bn = min(num_blocks, max(n_nodes, 1))
+    targets_tok = (np.arange(Bn, dtype=np.int64) * T) // max(Bn, 1)
+    if n_nodes:
+        picks = np.minimum(np.searchsorted(node_starts, targets_tok),
+                           n_nodes - 1)
+    else:
+        picks = np.zeros(1, np.int64)
+    picks = np.unique(picks)
+    block_nodes = picks.astype(np.int64)
+    tstart = (node_starts[block_nodes].astype(np.int32) if n_nodes
+              else np.zeros(1, np.int32))
+    tend = np.empty_like(tstart)
+    tend[:-1] = tstart[1:]
+    tend[-1] = T
+
+    tokens = np.stack([values.astype(np.uint32),
+                       comps.astype(np.uint32)], axis=1)
+    cap = max(int((tend - tstart).max()) if len(tstart) else 1, 1)
+    return (params, tables, jnp.asarray(tokens), jnp.asarray(tstart),
+            jnp.asarray(tend), cap, tstart, tend, block_nodes)
+
+
 def lane_encode_tokens(model: ANSModel, values: np.ndarray,
                        comps: np.ndarray, num_blocks: int = 512,
                        window: int = 7):
@@ -278,41 +317,14 @@ def lane_encode_tokens(model: ANSModel, values: np.ndarray,
     BufferSink::encode), plus the prelude block entry table
     (start_nodes, entry_states, entry_ptrs)."""
     del window  # block starts no longer restricted to reference-safe nodes
-    values = np.ascontiguousarray(values, dtype=np.uint64)
-    comps = np.ascontiguousarray(comps, dtype=np.uint8)
-    T = len(values)
-    if np.any(values >> 31):
-        raise ValueError("token values must fit in uint31 for the TPU encoder")
-
-    tables, params = build_encoder_tables(model)
+    (params, tables, tokens_d, tstart_d, tend_d, cap, tstart, tend,
+     block_nodes) = encode_plan(model, values, comps, num_blocks)
     max_folds = params[9]
     EP = _emit_pairs(max_folds)
-
-    # block boundaries at node starts, balanced in TOKEN space
-    node_starts = np.nonzero(comps == 0)[0]
-    n_nodes = len(node_starts)
-    Bn = min(num_blocks, max(n_nodes, 1))
-    targets_tok = (np.arange(Bn, dtype=np.int64) * T) // max(Bn, 1)
-    if n_nodes:
-        picks = np.minimum(np.searchsorted(node_starts, targets_tok),
-                           n_nodes - 1)
-    else:
-        picks = np.zeros(1, np.int64)
-    picks = np.unique(picks)
-    block_nodes = picks.astype(np.int64)
-    tstart = node_starts[block_nodes].astype(np.int32) if n_nodes else np.zeros(1, np.int32)
-    tend = np.empty_like(tstart)
-    tend[:-1] = tstart[1:]
-    tend[-1] = T
-
-    tokens = np.stack([values.astype(np.uint32),
-                       comps.astype(np.uint32)], axis=1)
-    cap = int((tend - tstart).max()) if len(tstart) else 1
-    cap = max(cap, 1)
+    T = len(values)
 
     emit, states, final_states, wtotals, ok = encode_blocks(
-        params, tables, jnp.asarray(tokens), jnp.asarray(tstart),
-        jnp.asarray(tend), cap)
+        params, tables, tokens_d, tstart_d, tend_d, cap)
     assert bool(np.asarray(ok).all())
     wtot = np.asarray(wtotals)
     if len(wtot) and int(wtot.max()) >= (1 << 23):

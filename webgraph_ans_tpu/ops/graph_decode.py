@@ -234,5 +234,8 @@ class TpuGraphDecoder:
         from .reconstruct_device import reconstruct_device
 
         out, counts, cap = self.decode_raw(num_lanes, cap)
+        # the decode plan doubles as the reconstruction meta cache: after
+        # the first call the whole pipeline queues without a host sync
+        meta_cache = self.plan(num_lanes).setdefault("recon_meta", {})
         return reconstruct_device(out, self.num_nodes, self.num_arcs, cap,
-                                  self.min_interval)
+                                  self.min_interval, meta_cache)

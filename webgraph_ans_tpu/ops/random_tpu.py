@@ -17,13 +17,16 @@ everything batched:
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..bvgraph.graph import Adjacency
 from .graph_decode import TpuGraphDecoder
 from .decode_jax import UNROLL, decode_blocks, round_cap, seed_rings
-from .reconstruct_jax import reconstruct
+from .reconstruct_jax import _np_ragged, reconstruct
 
 
 class TpuRandomAccess:
@@ -77,36 +80,45 @@ class TpuRandomAccess:
     def successors_batch(self, query_nodes, cap: int = 512) -> Adjacency:
         query = np.asarray(query_nodes, dtype=np.int64)
         todo = np.unique(query)
-        done: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        n = self.dec.num_nodes
+        seen = np.zeros(n, dtype=bool)
+        waves: list[tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]] = []
         guard = 0
-        while len(todo):
+        while todo.size:
+            seen[todo] = True
             vals, comps, counts = self._decode_nodes(todo, cap)
-            next_wave = []
-            for i, x in enumerate(todo):
-                v = vals[i, : counts[i]]
-                c = comps[i, : counts[i]]
-                done[int(x)] = (v, c)
-                # token 0 = outdegree, token 1 = reference (if window > 0)
-                if counts[i] >= 2 and c[1] == 1 and v[1] > 0:
-                    parent = int(x) - int(v[1])
-                    if parent not in done:
-                        next_wave.append(parent)
-            todo = np.unique(np.array(next_wave, dtype=np.int64)) if next_wave else np.zeros(0, np.int64)
-            todo = np.array([t for t in todo if t not in done], dtype=np.int64)
+            waves.append((todo, vals, comps, counts.astype(np.int64)))
+            # token 0 = outdegree, token 1 = reference (if window > 0):
+            # referenced parents not yet decoded form the next wave
+            has_par = (counts >= 2) & (comps[:, 1] == 1) & (vals[:, 1] > 0)
+            parents = todo[has_par] - vals[has_par, 1].astype(np.int64)
+            todo = np.unique(parents)
+            todo = todo[~seen[todo]]
             guard += 1
-            if guard > 64 and len(todo):
-                raise RuntimeError("reference chains too deep for random access waves")
+            if guard > 64 and todo.size:
+                raise RuntimeError(
+                    "reference chains too deep for random access waves")
 
-        # subset reconstruction over the reference closure
-        ids = np.array(sorted(done), dtype=np.int64)
-        flat_v = np.concatenate([done[int(x)][0] for x in ids])
-        flat_c = np.concatenate([done[int(x)][1] for x in ids])
-        offsets, succs = reconstruct(flat_v, flat_c, len(ids),
+        # flatten each wave's ragged rows (C-order keeps per-node token
+        # order), then permute whole token segments into ascending-id order
+        ids = np.concatenate([w[0] for w in waves])
+        cnts = np.concatenate([w[3] for w in waves])
+        flat_v = np.concatenate(
+            [v[np.arange(v.shape[1])[None, :] < c[:, None]]
+             for _, v, _, c in waves])
+        flat_c = np.concatenate(
+            [cm[np.arange(cm.shape[1])[None, :] < c[:, None]]
+             for _, _, cm, c in waves])
+        order = np.argsort(ids, kind="stable")
+        offs = np.zeros(len(ids) + 1, np.int64)
+        offs[1:] = np.cumsum(cnts)
+        seg, intra = _np_ragged(cnts[order], int(offs[-1]))
+        perm = offs[order[seg]] + intra
+        ids = ids[order]
+        offsets, succs = reconstruct(flat_v[perm], flat_c[perm], len(ids),
                                      self.dec.min_interval, node_ids=ids)
 
         # emit query rows in query order (ragged gather)
-        from .reconstruct_jax import _np_ragged
-
         loc = np.searchsorted(ids, query)
         row_lens = (offsets[loc + 1] - offsets[loc]).astype(np.int64)
         out_off = np.zeros(len(query) + 1, np.uint64)
@@ -115,3 +127,73 @@ class TpuRandomAccess:
         seg, intra = _np_ragged(row_lens, total)
         out = succs[offsets[loc[seg]].astype(np.int64) + intra]
         return Adjacency(out_off, out.astype(np.uint32))
+
+
+@functools.partial(jax.jit, static_argnames=("out_cap",))
+def gather_rows(offsets, succs, q, out_cap: int):
+    """Ragged row gather from a device CSR: emit the successor lists of
+    query nodes q (any order, repeats allowed) concatenated into a dense
+    [out_cap] buffer. Returns (out, out_off, total); entries past `total`
+    are zero. All device ops: one B-gather for row lengths, one scatter-add
+    + cumsum for the output segment ids (empty rows collapse naturally),
+    one out_cap-gather for the values."""
+    B = q.shape[0]
+    q = q.astype(jnp.int32)
+    row_len = offsets[q + 1] - offsets[q]
+    out_off = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(row_len)])
+    total = out_off[B]
+    bumps = jnp.zeros(out_cap, jnp.int32).at[out_off[1:]].add(
+        1, mode="drop")
+    seg = jnp.clip(jnp.cumsum(bumps), 0, B - 1)
+    t = jnp.arange(out_cap, dtype=jnp.int32)
+    src = offsets[q[seg]] + (t - out_off[seg])
+    live = t < total
+    out = jnp.where(live, succs[jnp.where(live, src, 0)], 0)
+    return out, out_off, total
+
+
+class TpuCsrServer:
+    """Random-access serving, TPU-architecture: decode the whole graph to a
+    device-resident CSR once (the compressed artifacts stay the storage
+    format), then serve arbitrary query batches as pure device gathers.
+
+    This is the TPU counterpart of the reference's random-access benchmark
+    (examples/bench_random_access.rs: 10M random successor enumerations):
+    on an accelerator the decode cost amortizes across the query stream
+    after ~30 full-graph-equivalents of queries, and each batch is
+    HBM-bandwidth-bound instead of decode-bound. For compressed-resident
+    on-demand decode (no CSR cache) use TpuRandomAccess.successors_batch.
+    """
+
+    def __init__(self, decoder: TpuGraphDecoder, num_lanes: int = 2048):
+        self.dec = decoder
+        offsets_d, succs_d, E = decoder.decode_to_csr_device(
+            num_lanes=num_lanes)
+        self.offsets = offsets_d
+        self.succs = succs_d
+        self.num_arcs = E
+
+    def serve(self, queries, out_cap: int | None = None):
+        """Returns (out, out_off, total) device arrays for one query batch;
+        out[:total] is the concatenation of the queried successor lists.
+        Raises if out_cap (default: B * max outdegree estimate via retry)
+        is exceeded."""
+        from .reconstruct_device import _quant
+
+        q = jnp.asarray(np.asarray(queries, dtype=np.int32))
+        if out_cap is None:
+            out_cap = _quant(int(q.shape[0]) * 8)
+        out, out_off, total = gather_rows(
+            self.offsets, self.succs, q, out_cap)
+        if int(total) > out_cap:
+            # total is exact even when the buffer overflowed: one retry
+            out, out_off, total = gather_rows(
+                self.offsets, self.succs, q, _quant(int(total)))
+        return out, out_off, total
+
+    def successors_batch(self, queries) -> Adjacency:
+        q = np.asarray(queries, dtype=np.int64)
+        out, out_off, total = self.serve(q)
+        off = np.asarray(out_off).astype(np.uint64)
+        return Adjacency(off, np.asarray(out[:int(total)]).astype(np.uint32))

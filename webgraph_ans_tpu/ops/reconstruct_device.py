@@ -117,9 +117,10 @@ def parse_stats(out, num_nodes: int, cap: int, min_interval: int):
     nd = jnp.clip(jnp.cumsum(is_out.astype(I32)) - 1, 0, n - 1)
 
     # Node start positions: position of each node's outdegree token.
-    # nd is nondecreasing, so this is the one P-scatter of the stats pass.
-    sp = jnp.full((n,), P - 1, I32).at[nd].min(
-        jnp.where(is_out, pos, P - 1), indices_are_sorted=True, mode="drop")
+    # Exactly one outdegree token per node, so a plain set-scatter works
+    # (measured ~3x cheaper than a min-scatter on v5e).
+    sp = jnp.full((n,), P - 1, I32).at[
+        jnp.where(is_out, nd, n)].set(pos, mode="drop")
     spx = jnp.concatenate([sp, jnp.full((1,), P, I32)])
 
     def node_sum(mask, val):
@@ -294,14 +295,13 @@ def expand_intervals(succs, ch_iv, adj_val, offsets, ncop, niv_tot,
         adj_val[p_t] + t, mode="drop")
 
 
-@functools.partial(jax.jit, static_argnames=("Ccap", "Epad"))
-def build_plan(ch_own, Btok, offsets, ncop, tail_len, blocks_sum, parent,
-               depth, total_cop, Ccap: int, Epad: int):
-    """Copy plan: for each copied element, (depth key, dest slot, source
-    slot in the FINAL sorted successor array), sorted by depth so the
-    resolution rounds can slice their own depth's elements. One
-    Ccap-from-P gather + one 3-operand Ccap sort; per-node values arrive
-    by delta broadcast (n-scale)."""
+def _plan_fields(ch_own, Btok, offsets, ncop, tail_len, blocks_sum,
+                 parent, total_cop, Ccap: int, Epad: int):
+    """Shared copy-plan element fields, in original node enumeration
+    order: for copy element t, its destination slot in the grouped
+    successor buffer and its source slot in the parent's FINAL sorted
+    list. One Ccap-from-P gather; per-node values arrive by delta
+    broadcast (n-scale)."""
     n = ncop.shape[0]
     t = jnp.arange(Ccap, dtype=I32)
     live = t < total_cop
@@ -318,14 +318,54 @@ def build_plan(ch_own, Btok, offsets, ncop, tail_len, blocks_sum, parent,
     # blocks_sum + (t - tail_start)
     par_el = _bcast_runs(Ccap, node_cop_base, par_off, cmask)
     pob_el = _bcast_runs(Ccap, node_cop_base, par_off + blocks_sum, cmask)
-    dep_el = _bcast_runs(Ccap, node_cop_base, depth, cmask)
     slot_base = _bcast_runs(Ccap, node_cop_base,
                             offsets[:n] - node_cop_base, cmask)
     src = jnp.where(in_tail, pob_el + (t - thr), par_el + Btok[p_t] + t)
     slot = slot_base + t
-    dkey = jnp.where(live, dep_el, jnp.int32(1 << 30))
     slot = jnp.where(live, slot, Epad)
     src = jnp.where(live, jnp.clip(src, 0, Epad - 1), 0)
+    return t, live, node_cop_base, cmask, slot, src
+
+
+def build_plan_bucketed(ch_own, Btok, offsets, ncop, tail_len, blocks_sum,
+                        parent, depth, total_cop, Ccap: int, Epad: int):
+    """Copy plan grouped by reference-chain depth — same element order a
+    (depth, slot) sort would give, produced WITHOUT a Ccap sort: nodes
+    are ordered by (depth, node) with one n-scale 2-key sort, each
+    element's grouped position is its node's depth-ordered copy base plus
+    its in-node rank (delta broadcast), and two Ccap scatters place
+    (slot, src). The depth-k round then slices elements
+    [hist[<k], hist[<=k]) directly (hist = per-depth copy counts from
+    parse_stats)."""
+    n = ncop.shape[0]
+    t, live, node_cop_base, cmask, slot, src = _plan_fields(
+        ch_own, Btok, offsets, ncop, tail_len, blocks_sum, parent,
+        total_cop, Ccap, Epad)
+    # nodes in (depth, node) order; node's copy base within that order
+    _, pi = jax.lax.sort((depth, jnp.arange(n, dtype=I32)), num_keys=2)
+    cb_pi = _excl(jnp.cumsum(ncop[pi]))[:n]
+    cb = jnp.zeros(n, I32).at[pi].set(cb_pi)
+    q_base = _bcast_runs(Ccap, node_cop_base, cb - node_cop_base, cmask)
+    q = jnp.where(live, q_base + t, Ccap)
+    # one row scatter for both fields (half the scatter passes)
+    plan = jnp.broadcast_to(jnp.array([Epad, 0], I32),
+                            (Ccap, 2)).at[q].set(
+        jnp.stack([slot, src], axis=1), mode="drop")
+    return plan[:, 0], plan[:, 1]
+
+
+@functools.partial(jax.jit, static_argnames=("Ccap", "Epad"))
+def build_plan(ch_own, Btok, offsets, ncop, tail_len, blocks_sum, parent,
+               depth, total_cop, Ccap: int, Epad: int):
+    """Depth-keyed copy plan via a Ccap 3-operand sort — only used by the
+    deep-chain (>=63 depth) fallback; the fused path uses
+    build_plan_bucketed."""
+    n = ncop.shape[0]
+    t, live, node_cop_base, cmask, slot, src = _plan_fields(
+        ch_own, Btok, offsets, ncop, tail_len, blocks_sum, parent,
+        total_cop, Ccap, Epad)
+    dep_el = _bcast_runs(Ccap, node_cop_base, depth, cmask)
+    dkey = jnp.where(live, dep_el, jnp.int32(1 << 30))
     return jax.lax.sort((dkey, slot, src), num_keys=1)
 
 
@@ -357,60 +397,147 @@ def fill_slice(succs, F, slot_sl, src_sl, cnt):
     return succs.at[idx].set(vals, mode="drop")
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "Epad", "Ecap", "Ccap", "min_interval", "hist_key"))
+def assemble(v, nib, sp, offsets, ncop, niv_tot, tail_len, blocks_sum,
+             parent, depth, total_iv, total_cop,
+             Epad: int, Ecap: int, Ccap: int, min_interval: int,
+             hist_key: tuple):
+    """Pass 2 in ONE device program: placement scatter, interval
+    expansion, copy plan, and every depth-resolution round statically
+    unrolled (round counts come from hist_key, the per-depth copy counts
+    fetched with the pass-1 meta). Fusing the whole tail matters more
+    than any single stage on this platform: each jit dispatch costs
+    ~30 ms through the remote-device relay (tools/probe_parse.py), which
+    dwarfs the compute of most stages."""
+    buf, adj_val, Btok = place(v, nib, sp, offsets, ncop, niv_tot,
+                               tail_len, Epad, Ecap, Ccap, min_interval)
+    succs = buf[:Epad]
+    if Ecap:
+        succs = expand_intervals(
+            succs, buf[Epad:Epad + Ecap], adj_val, offsets, ncop,
+            niv_tot, total_iv, Epad, Ecap)
+    seg = build_seg(offsets, succs)
+    F = sort_segments(seg, succs)
+    if hist_key:
+        slot_s, src_s = build_plan_bucketed(
+            buf[Epad + Ecap:], Btok, offsets, ncop, tail_len, blocks_sum,
+            parent, depth, total_cop, Ccap, Epad)
+        # pad so static-size depth slices never clamp
+        slot_p = jnp.concatenate([slot_s, jnp.full(Ccap, Epad, I32)])
+        src_p = jnp.concatenate([src_s, jnp.zeros(Ccap, I32)])
+        off = 0
+        for cnt in hist_key:
+            if cnt == 0:
+                continue
+            M = _quant(cnt)
+            succs = fill_slice(succs, F, slot_p[off:off + M],
+                               src_p[off:off + M], jnp.int32(cnt))
+            F = sort_segments(seg, succs)
+            off += cnt
+    return offsets, F, succs
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "num_nodes", "cap", "min_interval", "Epad", "Ecap", "Ccap",
+    "hist_key"))
+def parse_and_assemble(out, num_nodes: int, cap: int, min_interval: int,
+                       Epad: int, Ecap: int, Ccap: int, hist_key: tuple):
+    """The whole reconstruction as ONE device program (pass 1 + pass 2).
+    Usable once the meta vector is known (cached from a prior call on the
+    same artifact): every jit dispatch costs a ~30 ms relay round trip in
+    this environment, so the steady-state path must be a single dispatch.
+    Returns (offsets, F, meta) — the caller verifies meta against its
+    cache after the fact."""
+    st = parse_stats(out, num_nodes, cap, min_interval)
+    meta = st["meta"]
+    offsets, F, _ = assemble(
+        st["v"], st["nib"], st["sp"], st["offsets"], st["ncop"],
+        st["niv_tot"], st["tail_len"], st["blocks_sum"], st["parent"],
+        st["depth"], meta[1], meta[2], Epad, Ecap, Ccap, min_interval,
+        hist_key)
+    return offsets, F, meta
+
+
 def reconstruct_device(out, num_nodes: int, num_arcs: int, cap: int,
-                       min_interval: int):
+                       min_interval: int, meta_cache: dict | None = None):
     """Full-graph device reconstruction from decode_blocks output.
 
     Returns (offsets [n+1] i32 device, succs [Epad] i32 device, E) with
     the successor lists bit-exact in succs[:E]; raises on inconsistent
-    token streams. Reference capability: webgraph BvGraph successor
-    machinery (SURVEY.md section 2.2)."""
+    token streams. Two device programs total: parse_stats (pass 1) and
+    assemble (everything else, depth rounds unrolled).
+
+    `meta_cache` (optional, mutated): the pass-1 meta vector is the only
+    value the host needs before it can shape pass 2, so fetching it is
+    the pipeline's one blocking sync. A caller decoding the same artifact
+    repeatedly passes a dict; after the first call the cached meta shapes
+    pass 2 immediately (decode -> parse -> assemble queue back-to-back on
+    device) and the meta fetched afterwards — overlapping assemble's
+    compute — only verifies the cache.
+
+    Reference capability: webgraph BvGraph successor machinery
+    (SURVEY.md section 2.2)."""
     n, E = num_nodes, int(num_arcs)
+    cached = meta_cache.get("meta") if meta_cache is not None else None
+
+    if cached is not None and int(cached[3]) < 63:
+        # steady state: ONE dispatch for the whole reconstruction
+        total_iv, total_cop, max_depth = (int(cached[1]), int(cached[2]),
+                                          int(cached[3]))
+        hist_key = (tuple(int(c) for c in cached[4:4 + max_depth + 1][1:])
+                    if total_cop and max_depth > 0 else ())
+        offsets, F, meta_d = parse_and_assemble(
+            out, n, cap, min_interval, _quant(E + 1),
+            _quant(total_iv) if total_iv else 0, _quant(total_cop),
+            hist_key)
+        if not np.array_equal(np.asarray(meta_d), cached):
+            meta_cache.pop("meta", None)
+            raise ValueError(
+                "token stream changed under a cached reconstruction meta")
+        return offsets, F, E
+
     st = parse_stats(out, n, cap, min_interval)
     meta = np.asarray(st["meta"])
     if not bool(meta[0]):
         raise ValueError("token stream inconsistent")
+    if meta_cache is not None:
+        meta_cache["meta"] = meta
     total_iv, total_cop, max_depth = int(meta[1]), int(meta[2]), int(meta[3])
     hist = meta[4:]
 
+    def check(result):
+        return result
+
     Epad = _quant(E + 1)
-    Ecap = _quant(total_iv)
+    Ecap = _quant(total_iv) if total_iv else 0
     Ccap = _quant(total_cop)
+    args = (st["v"], st["nib"], st["sp"], st["offsets"], st["ncop"],
+            st["niv_tot"], st["tail_len"], st["blocks_sum"], st["parent"],
+            st["depth"], jnp.int32(total_iv), jnp.int32(total_cop))
+    if not (total_cop and max_depth > 0):
+        offsets, F, _ = assemble(*args, Epad, Ecap, Ccap, min_interval, ())
+        return check((offsets, F, E))
+    if max_depth < 63:
+        hist_key = tuple(int(c) for c in hist[1:max_depth + 1])
+        offsets, F, _ = assemble(*args, Epad, Ecap, Ccap, min_interval,
+                                 hist_key)
+        return check((offsets, F, E))
+
+    # depth histogram saturates at 64 buckets (hc-style chains): resolve
+    # with unsliced masked rounds, one dispatch per depth
+    offsets, F, succs = assemble(*args, Epad, Ecap, Ccap, min_interval, ())
     buf, adj_val, Btok = place(
         st["v"], st["nib"], st["sp"], st["offsets"], st["ncop"],
         st["niv_tot"], st["tail_len"], Epad, Ecap, Ccap, min_interval)
-    succs = buf[:Epad]
-    if total_iv:
-        succs = expand_intervals(
-            succs, buf[Epad:Epad + Ecap], adj_val, st["offsets"],
-            st["ncop"], st["niv_tot"], jnp.int32(total_iv), Epad, Ecap)
     seg = build_seg(st["offsets"], succs)
-    F = sort_segments(seg, succs)
-    if total_cop and max_depth > 0:
-        dkey, slot_s, src_s = build_plan(
-            buf[Epad + Ecap:], Btok, st["offsets"], st["ncop"],
-            st["tail_len"], st["blocks_sum"], st["parent"], st["depth"],
-            jnp.int32(total_cop), Ccap, Epad)
-        # pad so static-size depth slices never clamp
-        slot_p = jnp.concatenate([slot_s, jnp.full(Ccap, Epad, I32)])
-        src_p = jnp.concatenate([src_s, jnp.zeros(Ccap, I32)])
-        if max_depth < 63:
-            off = 0
-            for k in range(1, max_depth + 1):
-                cnt = int(hist[k])
-                if cnt == 0:
-                    continue
-                M = _quant(cnt)
-                succs = fill_slice(succs, F, slot_p[off:off + M],
-                                   src_p[off:off + M], jnp.int32(cnt))
-                F = sort_segments(seg, succs)
-                off += cnt
-        else:
-            # depth histogram saturates at 64 buckets (hc-style chains):
-            # resolve with unsliced rounds, masking by exact depth
-            for k in range(1, max_depth + 1):
-                take = dkey == k
-                idxs = jnp.where(take, slot_s, Epad)
-                succs = succs.at[idxs].set(F[src_s], mode="drop")
-                F = sort_segments(seg, succs)
-    return st["offsets"], F, E
+    dkey, slot_s, src_s = build_plan(
+        buf[Epad + Ecap:], Btok, st["offsets"], st["ncop"],
+        st["tail_len"], st["blocks_sum"], st["parent"], st["depth"],
+        jnp.int32(total_cop), Ccap, Epad)
+    for k in range(1, max_depth + 1):
+        take = dkey == k
+        idxs = jnp.where(take, slot_s, Epad)
+        succs = succs.at[idxs].set(F[src_s], mode="drop")
+        F = sort_segments(seg, succs)
+    return check((st["offsets"], F, E))
