@@ -57,7 +57,7 @@ def main():
     L = int(os.environ.get("WGT_BENCH_LANES", "2048"))
     t0 = time.time()
     store(base, out)
-    store(base, out + "-blk", encode_blocks=L)
+    res_blk = store(base, out + "-blk", encode_blocks=L)
     log(f"compress (2x 3-pass; serial + {L} encode blocks) "
         f"in {time.time() - t0:.2f}s")
 
@@ -127,6 +127,76 @@ def main():
     log(f"TPU end-to-end decode+reconstruct (device): "
         f"{np.median(times)*1e3:.1f} ms = {tpu_ns:.2f} ns/arc")
 
+    # Random access, reference headline protocol (10M random-node
+    # successor enumerations, examples/bench_random_access.rs).
+    # CPU: the native recursive per-node decoder on the serial artifact.
+    NQ = int(os.environ.get("WGT_BENCH_RANDOM_QUERIES", "10000000"))
+    rtimes, arcs_touched = [], 0
+    for rep in range(3):
+        t0 = time.time()
+        arcs_touched = g_serial.bench_random(NQ, seed=1)
+        rtimes.append(time.time() - t0)
+    cpu_rand_ns = float(np.median(rtimes)) / max(arcs_touched, 1) * 1e9
+    log(f"CPU random access ({NQ} queries, {arcs_touched} arcs): "
+        f"{np.median(rtimes):.2f}s = {cpu_rand_ns:.2f} ns/arc")
+
+    # TPU: CSR serving — decode the graph to a device-resident CSR once
+    # (the .ans artifacts stay the storage format), then every query batch
+    # is a pure device row gather. Queries are generated on device (the
+    # reference's bench also synthesizes them inside the loop); the
+    # one-time decode cost amortizes over ~30 batches and is reported
+    # separately above as the e2e number.
+    from webgraph_ans_tpu.ops.random_tpu import TpuCsrServer, gather_rows
+    from webgraph_ans_tpu.ops.reconstruct_device import _quant
+
+    srv = TpuCsrServer(dec_tpu, num_lanes=L)
+    B = 1 << 20
+    out_cap = _quant(int(B * (arcs / g.num_nodes) * 1.3))
+
+    def serve_batches(nbatches, t00):
+        total = 0
+        for i in range(nbatches):
+            q = jax.random.randint(jax.random.PRNGKey(i), (B,), 0,
+                                   g.num_nodes, dtype=jnp.int32)
+            o, off, tot = gather_rows(srv.offsets, srv.succs, q, out_cap)
+            tot = int(tot)
+            assert tot <= out_cap
+            total += tot
+        return total, time.time() - t00
+
+    serve_batches(1, time.time())                      # warm the jits
+    nb = max(NQ // B, 1)
+    total_arcs, serve_s = serve_batches(nb, time.time())
+    tpu_rand_ns = serve_s / max(total_arcs, 1) * 1e9
+    log(f"TPU random serve ({nb * B} queries, {total_arcs} arcs): "
+        f"{serve_s:.2f}s = {tpu_rand_ns:.2f} ns/arc (+ one-time decode "
+        f"{np.median(times) * 1e3:.0f} ms amortized)")
+
+    # TPU lane-parallel encode kernel, steady state on the block artifact's
+    # own token stream (reference counterpart: the pass-3 rANS encode loop,
+    # encoder.rs:39-78).
+    from webgraph_ans_tpu.bvgraph.store import dump_tokens
+    from webgraph_ans_tpu.ops.encode_jax import encode_blocks as enc_kernel
+    from webgraph_ans_tpu.ops.encode_jax import encode_plan
+
+    vals, comps = dump_tokens(adj, g.prelude.compression_window, 3,
+                              g.prelude.min_interval_length,
+                              res_blk.est_tables)
+    eplan = encode_plan(g.prelude.model, vals, comps, num_blocks=L)
+    eparams, etables, tokens_d, tstart_d, tend_d, ecap = eplan[:6]
+    eargs = (eparams, etables, tokens_d, tstart_d, tend_d, ecap)
+    eout = enc_kernel(*eargs)
+    jax.block_until_ready(eout)
+    etimes = []
+    for _ in range(5):
+        t0 = time.time()
+        eout = enc_kernel(*eargs)
+        jax.block_until_ready(eout)
+        etimes.append(time.time() - t0)
+    enc_ns = float(np.median(etimes)) / arcs * 1e9
+    log(f"TPU encode kernel ({len(vals)} tokens): "
+        f"{np.median(etimes)*1e3:.1f} ms = {enc_ns:.2f} ns/arc")
+
     # Headline: the token-decode kernel (the rANS entropy-decode hot loop,
     # the same quantity BENCH_r01 reported); the full device pipeline
     # (decode + successor reconstruction, CPU analog decode_all) rides
@@ -139,6 +209,9 @@ def main():
         "e2e_ns_per_arc": round(tpu_ns, 2),
         "e2e_vs_baseline": round(cpu_ns / tpu_ns, 3),
         "cpu_ns_per_arc": round(cpu_ns, 2),
+        "random_cpu_ns_per_arc": round(cpu_rand_ns, 2),
+        "random_tpu_serve_ns_per_arc": round(tpu_rand_ns, 2),
+        "encode_tpu_ns_per_arc": round(enc_ns, 2),
     }))
 
 

@@ -82,3 +82,17 @@ def test_known_zeta3_lengths():
             8, 3, native.as_ptr(buf, ctypes.c_uint8), 64,
         )
         assert n == nbits  # 8 copies of an nbits codeword = nbits bytes
+
+
+def test_nibble_roundtrip():
+    """NIBBLE (Java webgraph variable-length nibble code): known lengths +
+    random round trip. 0 -> '1000' (4 bits), 7 -> '1111', 8 -> 0|001 1|000."""
+    from webgraph_ans_tpu.bvgraph.properties import NIBBLE
+
+    values = np.concatenate([
+        np.arange(0, 200, dtype=np.uint64),
+        np.random.default_rng(7).integers(0, 1 << 40, size=3000,
+                                          dtype=np.uint64),
+    ])
+    out = roundtrip(values, np.full(len(values), NIBBLE))
+    np.testing.assert_array_equal(out, values)

@@ -130,6 +130,7 @@ def test_lane_bases_64bit_arithmetic():
 
     dec = TpuGraphDecoder.__new__(TpuGraphDecoder)
     dec.num_nodes = n
+    dec.phase_step = 1
     dec.pointers = np.asarray(ptrs, dtype=np.int64)
 
     # sub-range decode (a multihost shard): the tail lane ends below n —

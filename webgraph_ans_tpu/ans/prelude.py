@@ -45,10 +45,17 @@ class Prelude:
     # (references may cross them — decoders seed context from phases or
     # carry the window across blocks).
     blocks: tuple | None = None
+    # Phase sampling: .states/.pointers carry an entry only for nodes
+    # 0, k, 2k, ... (k = phase_step). Random access enters at the
+    # preceding sampled node and decodes forward — the same storage/speed
+    # dial as BVGraph's offset steps, shrinking the phase artifacts ~k x
+    # (the reference authors' open problem, README.md:176-179).
+    phase_step: int = 1
 
     # ---- .ans ----
     def to_bytes(self) -> bytes:
-        version = 2 if self.blocks is not None else 1
+        version = 3 if self.phase_step > 1 else (
+            2 if self.blocks is not None else 1)
         parts = [ANS_MAGIC]
         parts.append(
             struct.pack(
@@ -62,12 +69,15 @@ class Prelude:
                 len(self.stream),
             )
         )
+        if version == 3:
+            parts.append(struct.pack("<I", self.phase_step))
         for c in self.model.components:
             parts.append(struct.pack("<IIII", c.log_m, c.radix, c.fidelity, len(c.freqs)))
         for c in self.model.components:
             parts.append(np.ascontiguousarray(c.freqs, dtype="<u2").tobytes())
-        if version == 2:
-            starts, bstates, bptrs = self.blocks
+        if version >= 2:
+            starts, bstates, bptrs = (self.blocks if self.blocks is not None
+                                      else ([], [], []))
             parts.append(struct.pack("<I", len(starts)))
             parts.append(np.ascontiguousarray(starts, dtype="<u4").tobytes())
             parts.append(np.ascontiguousarray(bstates, dtype="<u4").tobytes())
@@ -76,16 +86,24 @@ class Prelude:
         return b"".join(parts)
 
     @staticmethod
-    def from_bytes(data: bytes) -> "Prelude":
-        if data[:8] != ANS_MAGIC:
+    def from_bytes(data) -> "Prelude":
+        """Accepts bytes or any uint8 buffer (np.memmap for zero-copy
+        loads: the u16 stream stays a view on the mapping, so graphs
+        larger than RAM page in on demand like the reference's epserde
+        mmap loads, random_access.rs:57-67)."""
+        if bytes(data[:8]) != ANS_MAGIC:
             raise ValueError("not a webgraph-ans-tpu .ans file")
         off = 8
         version, nodes, arcs, window, min_int, state, stream_len = struct.unpack_from(
             "<IQQIIIQ", data, off
         )
-        if version not in (1, 2):
+        if version not in (1, 2, 3):
             raise ValueError(f"unsupported .ans version {version}")
         off += struct.calcsize("<IQQIIIQ")
+        phase_step = 1
+        if version == 3:
+            (phase_step,) = struct.unpack_from("<I", data, off)
+            off += 4
         params = []
         for _ in range(NUM_COMPONENTS):
             params.append(struct.unpack_from("<IIII", data, off))
@@ -96,7 +114,7 @@ class Prelude:
             off += 2 * table_len
             components.append(ComponentModel(freqs, log_m, radix, fidelity))
         blocks = None
-        if version == 2:
+        if version >= 2:
             (nb,) = struct.unpack_from("<I", data, off)
             off += 4
             starts = np.frombuffer(data, dtype="<u4", count=nb, offset=off).copy()
@@ -105,11 +123,11 @@ class Prelude:
             off += 4 * nb
             bptrs = np.frombuffer(data, dtype="<u8", count=nb, offset=off).copy()
             off += 8 * nb
-            blocks = (starts, bstates, bptrs)
-        stream = np.frombuffer(data, dtype="<u2", count=stream_len, offset=off).copy()
+            blocks = (starts, bstates, bptrs) if nb else None
+        stream = np.frombuffer(data, dtype="<u2", count=stream_len, offset=off)
         return Prelude(
             ANSModel(components), stream, state, nodes, arcs, window, min_int,
-            blocks=blocks,
+            blocks=blocks, phase_step=phase_step,
         )
 
     def serialized_size(self) -> int:
@@ -122,8 +140,8 @@ class Prelude:
 
     @staticmethod
     def load(basename: str) -> "Prelude":
-        with open(basename + ".ans", "rb") as f:
-            return Prelude.from_bytes(f.read())
+        return Prelude.from_bytes(
+            np.memmap(basename + ".ans", dtype=np.uint8, mode="r"))
 
 
 # ---- .states ----
@@ -135,12 +153,11 @@ def save_states(basename: str, states: np.ndarray) -> None:
 
 
 def load_states(basename: str) -> np.ndarray:
-    with open(basename + ".states", "rb") as f:
-        data = f.read()
-    if data[:8] != STATES_MAGIC:
+    data = np.memmap(basename + ".states", dtype=np.uint8, mode="r")
+    if bytes(data[:8]) != STATES_MAGIC:
         raise ValueError("not a webgraph-ans-tpu .states file")
     (n,) = struct.unpack_from("<Q", data, 8)
-    return np.frombuffer(data, dtype="<u4", count=n, offset=16).copy()
+    return np.frombuffer(data, dtype="<u4", count=n, offset=16)
 
 
 # ---- .pointers (Elias-Fano) ----

@@ -53,7 +53,7 @@ def load_bvgraph(basename: str) -> tuple[Adjacency, props_mod.BvGraphProperties]
     """Decodes a WebGraph BVGraph (`basename.graph` + `basename.properties`)
     into an in-memory Adjacency via the native sequential scanner."""
     p = props_mod.BvGraphProperties.load(basename)
-    data = np.frombuffer(props_mod.graph_bytes(basename), dtype=np.uint8)
+    data = props_mod.graph_bytes(basename)
     lib = native.get_lib()
     handle = native.check_ptr(
         lib.wgt_bvgraph_scan(

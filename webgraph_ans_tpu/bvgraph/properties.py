@@ -10,13 +10,18 @@ from __future__ import annotations
 import dataclasses
 import os
 
+import numpy as np
+
 # Instantaneous code ids shared with native/src/bitstream.hpp.
 UNARY = 0
 GAMMA = 1
 DELTA = 2
 ZETA = 3
+NIBBLE = 4
 
-_CODE_BY_NAME = {"UNARY": UNARY, "GAMMA": GAMMA, "DELTA": DELTA, "ZETA": ZETA, "NIBBLE": -1, "GOLOMB": -1}
+# GOLOMB needs a per-stream modulus parameter that LAW .properties files
+# never carry; it stays unsupported (clear error) like in round 1.
+_CODE_BY_NAME = {"UNARY": UNARY, "GAMMA": GAMMA, "DELTA": DELTA, "ZETA": ZETA, "NIBBLE": NIBBLE, "GOLOMB": -1}
 
 
 @dataclasses.dataclass
@@ -75,9 +80,11 @@ class BvGraphProperties:
         return p
 
 
-def graph_bytes(basename: str) -> bytes:
-    with open(basename + ".graph", "rb") as f:
-        return f.read()
+def graph_bytes(basename: str) -> np.ndarray:
+    """Read-only uint8 view of `.graph`, mmap-backed: multi-GiB inputs
+    (eu-2015 is 12.8 GiB) page in on demand instead of loading into RAM
+    (reference capability: webgraph MmapHelper, SURVEY.md section 2.2)."""
+    return np.memmap(basename + ".graph", dtype=np.uint8, mode="r")
 
 
 def exists(basename: str) -> bool:

@@ -21,8 +21,13 @@ class ANSBvGraph:
     def __init__(self, prelude: Prelude, states: np.ndarray, pointers: np.ndarray):
         self.prelude = prelude
         n = prelude.num_nodes
-        assert len(states) == n and len(pointers) == n
-        # reverse: phases[j] on disk belongs to node n-1-j
+        k = prelude.phase_step
+        expected = -(-n // k) if n else 0
+        assert len(states) == expected and len(pointers) == expected, (
+            f"phase arrays have {len(states)} entries, expected {expected} "
+            f"(n={n}, phase_step={k})")
+        # reverse: phases[j] on disk belongs to sampled node
+        # (expected-1-j)*k; un-reversed entry i belongs to node i*k
         self.states = np.ascontiguousarray(states[::-1], dtype=np.uint32)
         self.pointers = np.ascontiguousarray(pointers[::-1], dtype=np.uint64)
         self._packed = prelude.model.packed()
@@ -65,6 +70,7 @@ class ANSBvGraph:
                 native.as_ptr(fidelity, ctypes.c_uint32),
                 native.as_ptr(node_ids, ctypes.c_uint64),
                 len(node_ids),
+                p.phase_step,
             )
         )
         offsets, succs = native.fetch_adjacency(lib, h)
@@ -94,6 +100,7 @@ class ANSBvGraph:
             native.as_ptr(fidelity, ctypes.c_uint32),
             num_queries,
             seed,
+            p.phase_step,
         )
         if arcs < 0:
             raise RuntimeError(f"bench failed: {native.last_error()}")

@@ -228,9 +228,17 @@ def store(basename: str, new_basename: str, compression_window: int = 7,
           max_ref_count: int = 3, min_interval_length: int = 2,
           use_tpu_model_search: bool = False,
           max_frame_log2: int = 12,
-          encode_blocks: int = 1) -> CompressionResult:
+          encode_blocks: int = 1,
+          phase_step: int = 1) -> CompressionResult:
     """Recompresses the BVGraph at `basename` into `new_basename.{ans,pointers,states}`
-    (reference: ANSBvGraph::store, random_access.rs:91-222)."""
+    (reference: ANSBvGraph::store, random_access.rs:91-222).
+
+    phase_step > 1 samples the phase artifacts: `.states`/`.pointers`
+    keep an entry only for every phase_step-th node, shrinking them ~k x
+    at the cost of decoding up to k-1 extra lists per random-access
+    query (the storage/speed dial BVGraph's own offset steps use; the
+    reference stores every node's phase and its authors flag the 2.4-3.4x
+    phase overhead as an open problem, reference README.md:176-179)."""
     adj, _props = load_bvgraph(basename)
     result = compress_adjacency(
         adj, compression_window, max_ref_count, min_interval_length,
@@ -238,7 +246,16 @@ def store(basename: str, new_basename: str, compression_window: int = 7,
         max_frame_log2=max_frame_log2,
         encode_blocks=encode_blocks,
     )
-    result.prelude.save(new_basename)
-    save_states(new_basename, result.states)
-    save_pointers(new_basename, result.pointers)
+    prelude, states, pointers = result.prelude, result.states, result.pointers
+    if phase_step > 1:
+        prelude = dataclasses.replace(prelude, phase_step=phase_step)
+        # phases are stored in reverse node order; sample nodes 0, k, ...
+        n = prelude.num_nodes
+        keep_nodes = np.arange(0, n, phase_step)
+        rev_idx = (n - 1 - keep_nodes)[::-1]
+        states = np.ascontiguousarray(states[rev_idx])
+        pointers = np.ascontiguousarray(pointers[rev_idx])
+    prelude.save(new_basename)
+    save_states(new_basename, states)
+    save_pointers(new_basename, pointers)
     return result

@@ -32,6 +32,10 @@ def _add_compress_args(p):
     p.add_argument("--encode-blocks", type=int, default=1,
                    help="lane-parallel rANS encode with this many "
                         "independent blocks on the device (1 = serial)")
+    p.add_argument("--phase-step", type=int, default=1,
+                   help="store phases for every k-th node only: .states/"
+                        ".pointers shrink ~k x, random access decodes up "
+                        "to k-1 extra lists per query")
 
 
 def main(argv=None):
@@ -69,7 +73,8 @@ def main(argv=None):
                     args.min_interval_length,
                     use_tpu_model_search=args.tpu_model_search,
                     max_frame_log2=args.max_frame_log2,
-                    encode_blocks=args.encode_blocks)
+                    encode_blocks=args.encode_blocks,
+                    phase_step=args.phase_step)
         print(json.dumps({
             "seconds": round(time.time() - t0, 3),
             "nodes": res.prelude.num_nodes,

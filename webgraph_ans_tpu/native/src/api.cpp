@@ -383,23 +383,50 @@ namespace {
 
 struct RandomCtx {
   const uint16_t* stream;
-  const uint32_t* states;    // node order
-  const uint64_t* pointers;  // node order
+  const uint32_t* states;    // node order, one entry per `step` nodes
+  const uint64_t* pointers;  // node order, one entry per `step` nodes
   const DecoderModel* model;
   uint32_t window;
   uint32_t min_interval;
+  // Phase sampling: phases are stored only for nodes 0, step, 2*step, ...
+  // Random access enters at the preceding sampled node and decodes forward
+  // (the same storage/speed dial as BVGraph's own offset steps; this
+  // answers the reference authors' open problem of phases costing 2.4-3.4x
+  // the BVGraph offsets, reference README.md:176-179).
+  uint32_t step = 1;
 
   // Recursively decodes node x (following reference chains) into `out`.
   void decode_node(uint64_t x, std::vector<uint64_t>& out) const {
-    ANSDecoder dec(*model, stream, pointers[x], states[x]);
+    uint64_t s = (x / step) * step;
+    ANSDecoder dec(*model, stream, pointers[x / step], states[x / step]);
     std::vector<uint64_t> ref_buf;
-    read_successors(
-        dec, x, window, min_interval,
-        [&](uint64_t node) -> const std::vector<uint64_t>& {
-          decode_node(node, ref_buf);
-          return ref_buf;
-        },
-        out);
+    if (s == x) {
+      read_successors(
+          dec, x, window, min_interval,
+          [&](uint64_t node) -> const std::vector<uint64_t>& {
+            decode_node(node, ref_buf);
+            return ref_buf;
+          },
+          out);
+      return;
+    }
+    // Skip-decode the intermediate nodes, keeping their lists in a local
+    // window ring so references inside [s, x) resolve without recursion.
+    size_t ring = window + 1;
+    std::vector<std::vector<uint64_t>> win(ring);
+    std::vector<uint64_t> tmp;
+    for (uint64_t y = s; y <= x; ++y) {
+      std::vector<uint64_t>& dst = (y == x) ? out : tmp;
+      read_successors(
+          dec, y, window, min_interval,
+          [&](uint64_t node) -> const std::vector<uint64_t>& {
+            if (node >= s) return win[node % ring];
+            decode_node(node, ref_buf);
+            return ref_buf;
+          },
+          dst);
+      if (y < x && window > 0) win[y % ring] = dst;
+    }
   }
 };
 
@@ -413,14 +440,16 @@ void* wgt_ans_decode_random(const uint16_t* stream, uint64_t stream_len,
                             const uint32_t* model_log_m,
                             const uint32_t* model_radix,
                             const uint32_t* model_fidelity,
-                            const uint64_t* node_ids, uint64_t num_queries) {
+                            const uint64_t* node_ids, uint64_t num_queries,
+                            uint32_t phase_step) {
   API_BEGIN
   (void)stream_len;
   (void)n;
   EncoderModel em = make_encoder_model(model_freqs, model_lens, model_log_m,
                                        model_radix, model_fidelity);
   DecoderModel dm = DecoderModel::from_encoder(em);
-  RandomCtx ctx{stream, states, pointers, &dm, window, min_interval};
+  RandomCtx ctx{stream, states, pointers, &dm, window, min_interval,
+                phase_step ? phase_step : 1};
   auto* r = new AdjResult();
   r->offsets.assign(1, 0);
   std::vector<uint64_t> out;
@@ -445,12 +474,14 @@ int64_t wgt_ans_bench_random(const uint16_t* stream, const uint32_t* states,
                              const uint32_t* model_log_m,
                              const uint32_t* model_radix,
                              const uint32_t* model_fidelity,
-                             uint64_t num_queries, uint64_t seed) {
+                             uint64_t num_queries, uint64_t seed,
+                             uint32_t phase_step) {
   API_BEGIN
   EncoderModel em = make_encoder_model(model_freqs, model_lens, model_log_m,
                                        model_radix, model_fidelity);
   DecoderModel dm = DecoderModel::from_encoder(em);
-  RandomCtx ctx{stream, states, pointers, &dm, window, min_interval};
+  RandomCtx ctx{stream, states, pointers, &dm, window, min_interval,
+                phase_step ? phase_step : 1};
   std::mt19937_64 rng(seed);
   std::vector<uint64_t> out;
   uint64_t arcs = 0;
@@ -585,6 +616,7 @@ int64_t wgt_write_codes(const uint64_t* values, const int32_t* codes,
       case CODE_GAMMA: bw.write_gamma(values[i]); break;
       case CODE_DELTA: bw.write_delta(values[i]); break;
       case CODE_ZETA: bw.write_zeta(values[i], zeta_k); break;
+      case CODE_NIBBLE: bw.write_nibble(values[i]); break;
       default: throw std::runtime_error("bad code");
     }
   }

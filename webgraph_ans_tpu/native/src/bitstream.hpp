@@ -75,6 +75,19 @@ class BitReader {
     return ((1ULL << h) | read_bits(static_cast<unsigned>(h))) - 1;
   }
 
+  inline uint64_t read_nibble() {
+    // Variable-length nibble code (Java webgraph InputBitStream.readNibble):
+    // each nibble = [stop bit][3 data bits], most significant group first;
+    // stop bit 1 marks the last nibble.
+    uint64_t x = 0;
+    uint64_t stop;
+    do {
+      stop = read_bit();
+      x = (x << 3) | read_bits(3);
+    } while (!stop);
+    return x;
+  }
+
   inline uint64_t read_zeta(unsigned k) {
     uint64_t h = read_unary();
     uint64_t left = 1ULL << (h * k);
@@ -96,6 +109,7 @@ enum Code : int {
   CODE_GAMMA = 1,
   CODE_DELTA = 2,
   CODE_ZETA = 3,
+  CODE_NIBBLE = 4,
 };
 
 inline uint64_t read_code(BitReader& br, int code, unsigned zeta_k) {
@@ -104,6 +118,7 @@ inline uint64_t read_code(BitReader& br, int code, unsigned zeta_k) {
     case CODE_GAMMA: return br.read_gamma();
     case CODE_DELTA: return br.read_delta();
     case CODE_ZETA: return br.read_zeta(zeta_k);
+    case CODE_NIBBLE: return br.read_nibble();
     default: throw std::runtime_error("unknown code id");
   }
 }
@@ -134,6 +149,15 @@ class BitWriter {
     unsigned h = ilog2_u64(v);
     write_gamma(h);
     write_bits(v & ((1ULL << h) - 1), h);
+  }
+  void write_nibble(uint64_t x) {
+    // Java webgraph OutputBitStream.writeNibble: 3-bit groups, most
+    // significant first, each preceded by a stop bit (1 on the last).
+    int h = x ? static_cast<int>(ilog2_u64(x)) / 3 : 0;
+    for (int i = h; i >= 0; --i) {
+      write_bit(i == 0);
+      write_bits((x >> (3 * i)) & 7, 3);
+    }
   }
   void write_zeta(uint64_t x, unsigned k) {
     uint64_t v = x + 1;

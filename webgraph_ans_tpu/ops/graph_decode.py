@@ -37,12 +37,55 @@ class TpuGraphDecoder:
         self.min_interval = p.min_interval_length
         self.num_nodes = p.num_nodes
         self.num_arcs = p.num_arcs
+        self.phase_step = p.phase_step
         self.tables, self.params = build_decoder_tables(p.model, p.stream)
-        # graph.states/pointers are already in node order; pointers stay
-        # u64 on the host and are rebased to per-lane i32 at decode time.
+        # graph.states/pointers are already in node order (entry i = node
+        # i * phase_step on sampled artifacts); pointers stay u64 on the
+        # host and are rebased to per-lane i32 at decode time.
         self.states = jnp.asarray(graph.states)
         self.pointers = np.asarray(graph.pointers, dtype=np.int64)
+        self._entry_table = None
         self._plans: dict[int, dict] = {}
+
+    def _entries(self):
+        """Valid lane entry points on sampled artifacts: the sampled-phase
+        nodes union the encode-block starts (which carry their own entry
+        state/pointer in the prelude block table). Returns (nodes i64
+        ascending, states u32, ptrs i64)."""
+        if self._entry_table is not None:
+            return self._entry_table
+        k = self.phase_step
+        nodes = np.arange(0, self.num_nodes, k, dtype=np.int64)
+        states = np.asarray(self.graph.states)
+        ptrs = self.pointers
+        blocks = self.graph.prelude.blocks
+        if blocks is not None:
+            bn = np.asarray(blocks[0], np.int64)
+            extra = bn % k != 0
+            if extra.any():
+                nodes = np.concatenate([nodes, bn[extra]])
+                states = np.concatenate(
+                    [states, np.asarray(blocks[1], np.uint32)[extra]])
+                ptrs = np.concatenate(
+                    [ptrs, np.asarray(blocks[2], np.int64)[extra]])
+                order = np.argsort(nodes, kind="stable")
+                nodes, states, ptrs = nodes[order], states[order], ptrs[order]
+        self._entry_table = (nodes, states, ptrs)
+        return self._entry_table
+
+    def _entry_lookup(self, node_arr: np.ndarray):
+        """(state, ptr) for each node in node_arr; every node must be a
+        valid entry point (sampled or a block start). Nodes >= num_nodes
+        (padding lanes) map to (0, 0)."""
+        nodes, states, ptrs = self._entries()
+        node_arr = np.asarray(node_arr, np.int64)
+        live = node_arr < self.num_nodes
+        idx = np.searchsorted(nodes, np.where(live, node_arr, 0))
+        if not np.array_equal(nodes[idx][live], node_arr[live]):
+            raise ValueError("lane start is not a valid entry point "
+                             "(not sampled and not an encode-block start)")
+        return (np.where(live, states[idx], 0).astype(np.uint32),
+                np.where(live, ptrs[idx], 0).astype(np.int64))
 
     def _lane_bases(self, starts: np.ndarray, ends: np.ndarray):
         """Per-lane (base_rows i32, rel entry ptr i32) for 64-bit streams:
@@ -51,9 +94,16 @@ class TpuGraphDecoder:
         basing each lane one row below that keeps every relative pointer
         in [0, 2^31)."""
         n = self.num_nodes
-        ptr_lo = np.where(ends < n, self.pointers[np.minimum(ends, n - 1)], 0)
+        if self.phase_step == 1:
+            ptr_lo = np.where(ends < n,
+                              self.pointers[np.minimum(ends, n - 1)], 0)
+            start_ptr = self.pointers[np.minimum(starts, n - 1)]
+        else:
+            _, end_ptr = self._entry_lookup(np.where(ends < n, ends, n))
+            ptr_lo = np.where(ends < n, end_ptr, 0)
+            _, start_ptr = self._entry_lookup(starts)
         base = np.maximum((ptr_lo >> ROW_SHIFT) - 1, 0)
-        rel = self.pointers[np.minimum(starts, n - 1)] - (base << ROW_SHIFT)
+        rel = start_ptr - (base << ROW_SHIFT)
         empty = starts >= ends        # padding lanes never touch the stream
         base = np.where(empty, 0, base)
         rel = np.where(empty, 0, rel)
@@ -78,6 +128,8 @@ class TpuGraphDecoder:
         n = self.num_nodes
         hi = n if hi is None else hi
         span = hi - lo
+        if self.phase_step > 1:
+            return self._sampled_bounds(num_lanes, lo, hi, pad_to)
         blocks = self.graph.prelude.blocks
         if blocks is not None:
             bstarts = np.asarray(blocks[0], np.int64)
@@ -122,6 +174,43 @@ class TpuGraphDecoder:
             ends = np.concatenate([ends, np.full(pad, hi, ends.dtype)])
         return starts.astype(np.int32), ends.astype(np.int32)
 
+    def _sampled_bounds(self, num_lanes: int, lo: int, hi: int, pad_to: int):
+        """Lane boundaries on phase-sampled artifacts: candidates are the
+        valid entry points (sampled nodes + block starts), balanced by
+        stream consumption; every encode-block start in range is
+        mandatory. `lo` must itself be an entry point."""
+        nodes_t, _, ptrs_t = self._entries()
+        sel = (nodes_t >= lo) & (nodes_t < hi)
+        cand = nodes_t[sel]
+        cptr = ptrs_t[sel]
+        if not len(cand) or cand[0] != lo:
+            raise ValueError(
+                f"range start {lo} is not a valid entry point on a "
+                f"phase-sampled artifact (step={self.phase_step})")
+        idx = np.arange(num_lanes, dtype=np.int64)
+        consumed = cptr[0] - cptr
+        total = consumed[-1] if len(consumed) else 0
+        targets = (idx * total) // max(num_lanes, 1)
+        pick = np.searchsorted(consumed, targets, side="left")
+        pick = np.minimum(pick, len(cand) - 1)
+        pick[0] = 0
+        pick = np.maximum.accumulate(pick)
+        starts = cand[pick]
+        blocks = self.graph.prelude.blocks
+        if blocks is not None:
+            bstarts = np.asarray(blocks[0], np.int64)
+            starts = np.concatenate(
+                [starts, bstarts[(bstarts > lo) & (bstarts < hi)]])
+        starts = np.unique(starts)
+        ends = np.empty_like(starts)
+        ends[:-1] = starts[1:]
+        ends[-1] = hi
+        if len(starts) % pad_to:
+            pad = pad_to - len(starts) % pad_to
+            starts = np.concatenate([starts, np.full(pad, hi, starts.dtype)])
+            ends = np.concatenate([ends, np.full(pad, hi, ends.dtype)])
+        return starts.astype(np.int32), ends.astype(np.int32)
+
     def _union_encode_blocks(self, starts, ends, lo: int, hi: int):
         """Unions prelude encode-block start nodes (clipped to (lo, hi))
         into the lane boundary set; recomputes contiguous ends."""
@@ -160,7 +249,12 @@ class TpuGraphDecoder:
         # invalid entries are masked inside seed_rings). Seed pointers are
         # rebased to the lane's base (pre-nodes sit at most a few stream
         # rows above the lane entry).
-        if W > 0:
+        if W > 0 and self.phase_step > 1:
+            # sampled artifacts have no per-node phases to seed from: get
+            # the pre-nodes' outdegrees from the native skip-decoder
+            # (one host call per plan, cached with it)
+            ring = jnp.asarray(self._rings_via_native(starts, W))
+        elif W > 0:
             pre = starts[:, None] - W + np.arange(W)[None, :]
             pre_cl = np.clip(pre, 0, self.num_nodes - 1)
             seed_rel = (host_ptrs[pre_cl]
@@ -175,17 +269,46 @@ class TpuGraphDecoder:
         else:
             ring = jnp.zeros((len(starts), 1), jnp.int32)
 
+        if self.phase_step == 1:
+            entry_states = host_states[np.minimum(starts,
+                                                  self.num_nodes - 1)]
+        else:
+            entry_states, _ = self._entry_lookup(starts)
         # ~2.05 tokens per arc + 3 per node is a generous upper estimate
         # for BvGraph token streams; overflow doubles and retries.
         est = (2 * self.num_arcs + 3 * self.num_nodes) // max(len(starts), 1)
         pl = dict(
             starts=jnp.asarray(starts), ends=jnp.asarray(ends), ring=ring,
-            states=jnp.asarray(
-                host_states[np.minimum(starts, self.num_nodes - 1)]),
+            states=jnp.asarray(entry_states),
             ptrs=jnp.asarray(rel), base=base_d,
             cap=round_cap(self.params, max(64, int(est * 1.3))))
         self._plans[num_lanes] = pl
         return pl
+
+    def _rings_via_native(self, starts: np.ndarray, W: int) -> np.ndarray:
+        """Ring seeds [L, W+1] from the native random-access decoder
+        (outdegree = decoded list length), for artifacts without per-node
+        phases."""
+        n = self.num_nodes
+        starts = np.asarray(starts, np.int64)
+        pre = starts[:, None] - W + np.arange(W)[None, :]
+        valid = (pre >= 0) & (starts[:, None] < n)
+        ids = np.unique(pre[valid])
+        R = W + 1
+        ring = np.zeros((len(starts), R), np.int32)
+        if len(ids):
+            adj = self.graph.successors_batch(ids.astype(np.uint64))
+            degs = np.diff(adj.offsets.astype(np.int64))
+            deg_of = dict(zip(ids.tolist(), degs.tolist()))
+            col = pre % R
+            deg_arr = np.zeros_like(pre)
+            flat = pre[valid]
+            deg_arr[valid] = np.fromiter((deg_of[int(x)] for x in flat),
+                                         count=len(flat), dtype=np.int64)
+            rows = np.broadcast_to(np.arange(len(starts))[:, None],
+                                   pre.shape)
+            ring[rows[valid], col[valid]] = deg_arr[valid]
+        return ring
 
     def decode_raw(self, num_lanes: int = 256, cap: int | None = None):
         """Lane-parallel token decode of the whole graph; returns the raw

@@ -31,6 +31,11 @@ from .reconstruct_jax import _np_ragged, reconstruct
 
 class TpuRandomAccess:
     def __init__(self, decoder: TpuGraphDecoder):
+        if decoder.phase_step > 1:
+            raise NotImplementedError(
+                "TPU wave random access needs per-node phases; on "
+                "phase-sampled artifacts use ANSBvGraph.successors_batch "
+                "(native skip-decode) or TpuCsrServer (device CSR)")
         self.dec = decoder
 
     def _decode_nodes(self, nodes: np.ndarray, cap: int):

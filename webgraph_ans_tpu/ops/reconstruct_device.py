@@ -5,24 +5,26 @@ The reference capability being replaced is the successor reconstruction
 machinery of webgraph's BvGraph (executable spec: native/src/bvgraph.hpp
 read_successors; SURVEY.md section 2.2).
 
-Design is driven by the measured v5e primitive costs (tools/probe_prims.py):
-elementwise ops and cumsums over the P-token buffer are ~free (<0.2 ms at
-10M elements), while every P-sized gather / scatter / sort costs ~5-15
-ns/element. The previous implementation spent ~2.3 s in a dozen P-sized
-gathers and scatters; this one bounds the expensive-op inventory to:
+Design is driven by the measured v5e costs (tools/probe_parse.py,
+tools/probe_recon_marginal.py): elementwise ops and cumsums over the
+P-token buffer are a few ms, while every P-sized gather / scatter costs
+~30-40 ms in-program. The expensive-op inventory is therefore bounded to:
 
 - ONE P-scatter to find per-node start positions (sp),
 - ONE combined P-scatter that simultaneously places residual values into
-  the successor buffer and seeds the interval/copy run-expansion channels
-  (the three index regions are disjoint token classes),
-- one gather per expansion (interval values at run tokens, copy-source
-  bases at run tokens),
-- one 2-key segment sort per copy-resolution round, with the round
-  gathers/scatters sliced by reference-chain depth so their total work is
-  O(copied elements), not O(copied x depth).
+  the successor buffer and seeds the interval/copy run channels — the
+  copy channel directly in (reference-chain depth, node) grouped order,
+  so the depth-resolution rounds can slice it with no reorder pass,
+- ONE Ecap scatter (interval expansion into succs),
+- one 2-key segment sort of the successor buffer per copy round, with
+  round work sliced by chain depth so total round work is O(copied
+  elements), not O(copied x depth).
 
-Everything else is built from two scan identities that replace per-token
-gathers of per-node tables:
+Runs carry their VALUES in the channels (packed with a validity bit) and
+a "last-valid" associative scan broadcasts them to run elements — no
+per-element gather back into token space at all. Everything else is
+built from two scan identities that replace per-token gathers of
+per-node tables:
 
 - inject-reset local cumsum: cumsum(contrib + scatter_at_node_start(
   -prev_node_total)) yields the within-node running sum directly. This is
@@ -66,10 +68,6 @@ def _quant(x: int) -> int:
     return -(-x >> k) << k
 
 
-def _pow2(x: int) -> int:
-    return max(1 << (max(int(x) - 1, 1)).bit_length(), 16)
-
-
 def _unpack(out, cap: int):
     """decode_blocks output -> lane-major flat (v, nib) token arrays."""
     vals2d = out[:cap]
@@ -86,6 +84,15 @@ def _excl(cs):
     return jnp.concatenate([jnp.zeros(1, cs.dtype), cs])
 
 
+def _ffill_valid(ch):
+    """Forward-fill the last value with bit0 set (channels pack run values
+    as (val<<1)|1; unseeded slots are 0). Last-valid combiner is
+    associative, so this is one associative scan — works for ARBITRARY
+    (non-monotone) run values, unlike a cummax of positions."""
+    return jax.lax.associative_scan(
+        lambda a, b: jnp.where(b & 1 == 1, b, a), ch)
+
+
 def _bcast_runs(size: int, starts_n, vals_n, mask_n):
     """Broadcast vals_n[i] over [starts_n[i], starts_n[next masked i]) of a
     length-`size` array for masked nodes (0 before the first): n-scale
@@ -99,6 +106,17 @@ def _bcast_runs(size: int, starts_n, vals_n, mask_n):
     arr = jnp.zeros(size, I32).at[st].add(
         jnp.where(st < size, delta, 0), mode="drop")
     return jnp.cumsum(arr)
+
+
+def _depth_order(depth, ncop):
+    """Nodes ordered by (reference-chain depth, node): pi = the order, cb =
+    each node's copy-element base within that order (indexed by ORIGINAL
+    node id). All n-scale."""
+    n = depth.shape[0]
+    _, pi = jax.lax.sort((depth, jnp.arange(n, dtype=I32)), num_keys=2)
+    cb_pi = _excl(jnp.cumsum(ncop[pi]))[:n]
+    cb = jnp.zeros(n, I32).at[pi].set(cb_pi)
+    return pi, cb
 
 
 @functools.partial(jax.jit, static_argnames=("num_nodes", "cap",
@@ -197,15 +215,16 @@ def parse_stats(out, num_nodes: int, cap: int, min_interval: int):
 
 @functools.partial(jax.jit, static_argnames=("Epad", "Ecap", "Ccap",
                                              "min_interval"))
-def place(v, nib, sp, offsets, ncop, niv_tot, tail_len,
+def place(v, nib, sp, offsets, ncop, niv_tot, tail_len, depth,
           Epad: int, Ecap: int, Ccap: int, min_interval: int):
     """Pass 2: the combined placement scatter. Residual values land at
     their final grouped slots in succs[:Epad]; interval/copy run channels
-    (buf[Epad:]) record each run's token position for later expansion.
-    Also returns the per-token value tables the expansions gather from."""
+    (buf[Epad:]) record each run's VALUE, packed (val<<1)|1 so a
+    last-valid scan can broadcast it to the run's elements. The copy
+    channel is laid out in (depth, node) grouped element order, so depth
+    rounds later slice it directly."""
     P = v.shape[0]
     n = sp.shape[0]
-    pos = jnp.arange(P, dtype=I32)
     is_out = nib == 0
     nd = jnp.clip(jnp.cumsum(is_out.astype(I32)) - 1, 0, n - 1)
 
@@ -231,8 +250,8 @@ def place(v, nib, sp, offsets, ncop, niv_tot, tail_len,
     rank = local_cumsum(m, jnp.ones(P, I32)) - 1
     dest_r = bcast_sp(offsets[:n] + ncop + niv_tot) + rank
 
-    # ---- interval runs: left values at IS tokens; run channel seeded at
-    # IL tokens with the token position ----
+    # ---- interval runs: the run's first left value, seeded at IL tokens
+    # in global interval-element order ----
     is_il = nib == 6
     ilen = v + min_interval
     live_il = is_il & (ilen > 0)
@@ -245,11 +264,12 @@ def place(v, nib, sp, offsets, ncop, niv_tot, tail_len,
     lefts = local_cumsum(is_is, jnp.where(
         first_iv, nd + _nat2int(v), v + 1 + prev_v + min_interval))
     lefts_prev = jnp.concatenate([jnp.zeros(1, I32), lefts[:-1]])
-    # element t of the run at token p has value adj_val[p] + t
+    # element t of the run at this token has value adj_val + t
     adj_val = lefts_prev - cum_excl_iv
 
     # ---- copy runs (even-indexed blocks with positive length; the
-    # reference-tail run is n-scale and handled in build_plan) ----
+    # reference-tail run is n-scale and handled in copy_fields), channel
+    # in (depth, node) grouped element order ----
     is_blk = nib == 3
     blk_idx = local_cumsum(is_blk, jnp.ones(P, I32)) - 1
     b = v + (blk_idx > 0).astype(I32)
@@ -257,116 +277,76 @@ def place(v, nib, sp, offsets, ncop, niv_tot, tail_len,
     cop_own = jnp.where(own, b, 0)
     cum_own = jnp.cumsum(cop_own)                      # own elements only
     cum_excl_own = cum_own - cop_own
-    # element index accounts for tails of earlier nodes
+    # node-order element index accounts for tails of earlier nodes
     tail_bb = bcast_sp(_excl(jnp.cumsum(tail_len))[:n])
     own_start = cum_excl_own + tail_bb
+    # depth-grouped element index: shift each node's elements from its
+    # node-order base to its (depth, node)-order base
+    _, cb = _depth_order(depth, ncop)
+    ncb = _excl(jnp.cumsum(ncop))[:n]
+    q_start = own_start + bcast_sp(cb - ncb)
     # start of this block within the REFERENCED list: local running sum of
-    # block lengths before this token
+    # block lengths before this token. Element at depth-order index q of
+    # the run starting at q0 copies parent slot blk_run_start + (q - q0)
+    # = Bq + q with the per-run constant Bq below.
     blk_run_start = local_cumsum(is_blk, b) - jnp.where(is_blk, b, 0)
-    # element t of the run at token p copies parent slot Btok[p] + t
-    Btok = blk_run_start - own_start
+    Bq = blk_run_start - q_start
 
     # ---- the combined scatter: three disjoint token classes, three
-    # disjoint index regions ----
+    # disjoint index regions; channels carry (value<<1)|1 ----
     BIG = Epad + Ecap + Ccap
     idx = jnp.where(m, dest_r,
           jnp.where(live_il, Epad + cum_excl_iv,
-          jnp.where(own, Epad + Ecap + own_start, BIG)))
-    val = jnp.where(m, res_val, pos + 1)
+          jnp.where(own, Epad + Ecap + q_start, BIG)))
+    val = jnp.where(m, res_val,
+          jnp.where(live_il, (adj_val << 1) | 1, (Bq << 1) | 1))
     buf = jnp.zeros(BIG, I32).at[idx].set(val, mode="drop")
-    return buf, adj_val, Btok
+    return buf
 
 
 @functools.partial(jax.jit, static_argnames=("Epad", "Ecap"))
-def expand_intervals(succs, ch_iv, adj_val, offsets, ncop, niv_tot,
-                     total_iv, Epad: int, Ecap: int):
-    """Interval expansion: forward-fill the run channel (token position of
-    each element's run), one Ecap-from-P gather of the run's value base,
-    one Ecap scatter into succs."""
+def expand_intervals(succs, ch_iv, offsets, ncop, niv_tot, total_iv,
+                     Epad: int, Ecap: int):
+    """Interval expansion: last-valid scan broadcasts each run's packed
+    adj_val to its elements, one Ecap scatter into succs. Element t's
+    value is adj_val + t (adj_val already folds in the run's global
+    element base)."""
     n = ncop.shape[0]
     t = jnp.arange(Ecap, dtype=I32)
-    p_t = jnp.clip(jax.lax.cummax(ch_iv) - 1, 0, adj_val.shape[0] - 1)
+    adj_el = _ffill_valid(ch_iv) >> 1
     node_iv_base = _excl(jnp.cumsum(niv_tot))[:n]
     # dest = offsets[node] + ncop[node] + (t - node_iv_base[node])
     dest_ff = _bcast_runs(Ecap, node_iv_base,
                           offsets[:n] + ncop - node_iv_base, niv_tot > 0)
     live = t < total_iv
     return succs.at[jnp.where(live, dest_ff + t, Epad)].set(
-        adj_val[p_t] + t, mode="drop")
+        adj_el + t, mode="drop")
 
 
-def _plan_fields(ch_own, Btok, offsets, ncop, tail_len, blocks_sum,
-                 parent, total_cop, Ccap: int, Epad: int):
-    """Shared copy-plan element fields, in original node enumeration
-    order: for copy element t, its destination slot in the grouped
-    successor buffer and its source slot in the parent's FINAL sorted
-    list. One Ccap-from-P gather; per-node values arrive by delta
-    broadcast (n-scale)."""
+def copy_fields(ch_own, offsets, ncop, tail_len, blocks_sum, parent, depth,
+                total_cop, Ccap: int, Epad: int):
+    """Per-copy-element (slot, src) in (depth, node) grouped order — the
+    order `place` seeded the channel in. src indexes the parent's FINAL
+    sorted list; slot is the element's grouped position in succs. One
+    last-valid scan + n-scale delta broadcasts; NO element gathers."""
     n = ncop.shape[0]
     t = jnp.arange(Ccap, dtype=I32)
     live = t < total_cop
-    p_t = jnp.clip(jax.lax.cummax(ch_own) - 1, 0, Btok.shape[0] - 1)
+    Bq_el = _ffill_valid(ch_own) >> 1
 
-    node_cop_base = _excl(jnp.cumsum(ncop))[:n]
+    _, cb = _depth_order(depth, ncop)
     cmask = ncop > 0
     par_off = offsets[parent]
     # element is in the reference-tail run iff t >= tail element start
-    thr = _bcast_runs(Ccap, node_cop_base, node_cop_base + ncop - tail_len,
-                      cmask)
+    thr = _bcast_runs(Ccap, cb, cb + ncop - tail_len, cmask)
     in_tail = t >= thr
-    # own runs: src = par_off + Btok[run] + t; tail: src = par_off +
-    # blocks_sum + (t - tail_start)
-    par_el = _bcast_runs(Ccap, node_cop_base, par_off, cmask)
-    pob_el = _bcast_runs(Ccap, node_cop_base, par_off + blocks_sum, cmask)
-    slot_base = _bcast_runs(Ccap, node_cop_base,
-                            offsets[:n] - node_cop_base, cmask)
-    src = jnp.where(in_tail, pob_el + (t - thr), par_el + Btok[p_t] + t)
-    slot = slot_base + t
-    slot = jnp.where(live, slot, Epad)
+    par_el = _bcast_runs(Ccap, cb, par_off, cmask)
+    pob_el = _bcast_runs(Ccap, cb, par_off + blocks_sum, cmask)
+    slot_base = _bcast_runs(Ccap, cb, offsets[:n] - cb, cmask)
+    src = jnp.where(in_tail, pob_el + (t - thr), par_el + Bq_el + t)
+    slot = jnp.where(live, slot_base + t, Epad)
     src = jnp.where(live, jnp.clip(src, 0, Epad - 1), 0)
-    return t, live, node_cop_base, cmask, slot, src
-
-
-def build_plan_bucketed(ch_own, Btok, offsets, ncop, tail_len, blocks_sum,
-                        parent, depth, total_cop, Ccap: int, Epad: int):
-    """Copy plan grouped by reference-chain depth — same element order a
-    (depth, slot) sort would give, produced WITHOUT a Ccap sort: nodes
-    are ordered by (depth, node) with one n-scale 2-key sort, each
-    element's grouped position is its node's depth-ordered copy base plus
-    its in-node rank (delta broadcast), and two Ccap scatters place
-    (slot, src). The depth-k round then slices elements
-    [hist[<k], hist[<=k]) directly (hist = per-depth copy counts from
-    parse_stats)."""
-    n = ncop.shape[0]
-    t, live, node_cop_base, cmask, slot, src = _plan_fields(
-        ch_own, Btok, offsets, ncop, tail_len, blocks_sum, parent,
-        total_cop, Ccap, Epad)
-    # nodes in (depth, node) order; node's copy base within that order
-    _, pi = jax.lax.sort((depth, jnp.arange(n, dtype=I32)), num_keys=2)
-    cb_pi = _excl(jnp.cumsum(ncop[pi]))[:n]
-    cb = jnp.zeros(n, I32).at[pi].set(cb_pi)
-    q_base = _bcast_runs(Ccap, node_cop_base, cb - node_cop_base, cmask)
-    q = jnp.where(live, q_base + t, Ccap)
-    # one row scatter for both fields (half the scatter passes)
-    plan = jnp.broadcast_to(jnp.array([Epad, 0], I32),
-                            (Ccap, 2)).at[q].set(
-        jnp.stack([slot, src], axis=1), mode="drop")
-    return plan[:, 0], plan[:, 1]
-
-
-@functools.partial(jax.jit, static_argnames=("Ccap", "Epad"))
-def build_plan(ch_own, Btok, offsets, ncop, tail_len, blocks_sum, parent,
-               depth, total_cop, Ccap: int, Epad: int):
-    """Depth-keyed copy plan via a Ccap 3-operand sort — only used by the
-    deep-chain (>=63 depth) fallback; the fused path uses
-    build_plan_bucketed."""
-    n = ncop.shape[0]
-    t, live, node_cop_base, cmask, slot, src = _plan_fields(
-        ch_own, Btok, offsets, ncop, tail_len, blocks_sum, parent,
-        total_cop, Ccap, Epad)
-    dep_el = _bcast_runs(Ccap, node_cop_base, depth, cmask)
-    dkey = jnp.where(live, dep_el, jnp.int32(1 << 30))
-    return jax.lax.sort((dkey, slot, src), num_keys=1)
+    return slot, src
 
 
 @jax.jit
@@ -404,24 +384,24 @@ def assemble(v, nib, sp, offsets, ncop, niv_tot, tail_len, blocks_sum,
              Epad: int, Ecap: int, Ccap: int, min_interval: int,
              hist_key: tuple):
     """Pass 2 in ONE device program: placement scatter, interval
-    expansion, copy plan, and every depth-resolution round statically
+    expansion, copy fields, and every depth-resolution round statically
     unrolled (round counts come from hist_key, the per-depth copy counts
     fetched with the pass-1 meta). Fusing the whole tail matters more
     than any single stage on this platform: each jit dispatch costs
     ~30 ms through the remote-device relay (tools/probe_parse.py), which
     dwarfs the compute of most stages."""
-    buf, adj_val, Btok = place(v, nib, sp, offsets, ncop, niv_tot,
-                               tail_len, Epad, Ecap, Ccap, min_interval)
+    buf = place(v, nib, sp, offsets, ncop, niv_tot, tail_len, depth,
+                Epad, Ecap, Ccap, min_interval)
     succs = buf[:Epad]
     if Ecap:
         succs = expand_intervals(
-            succs, buf[Epad:Epad + Ecap], adj_val, offsets, ncop,
-            niv_tot, total_iv, Epad, Ecap)
+            succs, buf[Epad:Epad + Ecap], offsets, ncop, niv_tot,
+            total_iv, Epad, Ecap)
     seg = build_seg(offsets, succs)
     F = sort_segments(seg, succs)
     if hist_key:
-        slot_s, src_s = build_plan_bucketed(
-            buf[Epad + Ecap:], Btok, offsets, ncop, tail_len, blocks_sum,
+        slot_s, src_s = copy_fields(
+            buf[Epad + Ecap:], offsets, ncop, tail_len, blocks_sum,
             parent, depth, total_cop, Ccap, Epad)
         # pad so static-size depth slices never clamp
         slot_p = jnp.concatenate([slot_s, jnp.full(Ccap, Epad, I32)])
@@ -460,7 +440,7 @@ def parse_and_assemble(out, num_nodes: int, cap: int, min_interval: int,
 
 
 def reconstruct_device(out, num_nodes: int, num_arcs: int, cap: int,
-                       min_interval: int, meta_cache: dict | None = None):
+                      min_interval: int, meta_cache: dict | None = None):
     """Full-graph device reconstruction from decode_blocks output.
 
     Returns (offsets [n+1] i32 device, succs [Epad] i32 device, E) with
@@ -506,9 +486,6 @@ def reconstruct_device(out, num_nodes: int, num_arcs: int, cap: int,
     total_iv, total_cop, max_depth = int(meta[1]), int(meta[2]), int(meta[3])
     hist = meta[4:]
 
-    def check(result):
-        return result
-
     Epad = _quant(E + 1)
     Ecap = _quant(total_iv) if total_iv else 0
     Ccap = _quant(total_cop)
@@ -517,27 +494,32 @@ def reconstruct_device(out, num_nodes: int, num_arcs: int, cap: int,
             st["depth"], jnp.int32(total_iv), jnp.int32(total_cop))
     if not (total_cop and max_depth > 0):
         offsets, F, _ = assemble(*args, Epad, Ecap, Ccap, min_interval, ())
-        return check((offsets, F, E))
+        return offsets, F, E
     if max_depth < 63:
         hist_key = tuple(int(c) for c in hist[1:max_depth + 1])
         offsets, F, _ = assemble(*args, Epad, Ecap, Ccap, min_interval,
                                  hist_key)
-        return check((offsets, F, E))
+        return offsets, F, E
 
     # depth histogram saturates at 64 buckets (hc-style chains): resolve
-    # with unsliced masked rounds, one dispatch per depth
+    # with unsliced masked rounds, one dispatch per depth. The copy
+    # fields are (depth, node)-grouped but the slice bounds are unknown
+    # beyond bucket 63, so rounds mask on the element's chain depth.
     offsets, F, succs = assemble(*args, Epad, Ecap, Ccap, min_interval, ())
-    buf, adj_val, Btok = place(
-        st["v"], st["nib"], st["sp"], st["offsets"], st["ncop"],
-        st["niv_tot"], st["tail_len"], Epad, Ecap, Ccap, min_interval)
+    buf = place(st["v"], st["nib"], st["sp"], st["offsets"], st["ncop"],
+                st["niv_tot"], st["tail_len"], st["depth"],
+                Epad, Ecap, Ccap, min_interval)
     seg = build_seg(st["offsets"], succs)
-    dkey, slot_s, src_s = build_plan(
-        buf[Epad + Ecap:], Btok, st["offsets"], st["ncop"],
-        st["tail_len"], st["blocks_sum"], st["parent"], st["depth"],
-        jnp.int32(total_cop), Ccap, Epad)
+    slot_s, src_s = jax.jit(
+        copy_fields, static_argnames=("Ccap", "Epad"))(
+        buf[Epad + Ecap:], st["offsets"], st["ncop"], st["tail_len"],
+        st["blocks_sum"], st["parent"], st["depth"], jnp.int32(total_cop),
+        Ccap=Ccap, Epad=Epad)
+    _, cb = _depth_order(st["depth"], st["ncop"])
+    dep_el = _bcast_runs(Ccap, cb, st["depth"], st["ncop"] > 0)
     for k in range(1, max_depth + 1):
-        take = dkey == k
+        take = dep_el == k
         idxs = jnp.where(take, slot_s, Epad)
         succs = succs.at[idxs].set(F[src_s], mode="drop")
         F = sort_segments(seg, succs)
-    return check((st["offsets"], F, E))
+    return st["offsets"], F, E
