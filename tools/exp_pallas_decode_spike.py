@@ -32,7 +32,7 @@ def main():
     from jax.experimental.pallas import tpu as pltpu
 
     from webgraph_ans_tpu.ops.pallas_prims import (
-        gather8, lut_gather, select8, tree_select_rows8)
+        gather8, lut_gather, tree_select_rows8)
 
     G = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
     cap = int(sys.argv[2]) if len(sys.argv) > 2 else 64
@@ -113,9 +113,23 @@ def main():
         lut = lut_ref[:]
 
         probe = os.environ.get("SPIKE_PROBE", "")
+        dup = int(os.environ.get("SPIKE_DUP", "1"))
 
         def substep(sub, carry):
             state, ptr, acc, x = carry
+            for d in range(dup - 1):
+                extra = []
+                for a in range(A):
+                    irow = (state[a:a + 1, :] + d) & (SLOTS - 1)
+                    row = lut_gather(lut, irow, NROWS)
+                    prow = ptr[a:a + 1, :]
+                    pair_lo = jnp.clip(prow - 15 - d, 0, 2 * SMAXP) >> 1
+                    g = jnp.minimum(pair_lo >> 3, NG - 1)
+                    tile = slab_ref[:, a * 128:(a + 1) * 128]
+                    grp = tree_select_rows8(tile, g, NG)
+                    w = gather8(grp, pair_lo) ^ row[:, 0:128]
+                    extra.append(w)
+                acc = acc + (jnp.concatenate(extra, axis=0) & 1)
             fcs, sfs, ws = [], [], []
             for a in range(A):
                 irow = state[a:a + 1, :] & (SLOTS - 1)

@@ -83,6 +83,21 @@ R_STATE, R_PTR, R_X, R_PHASE, R_D, R_BC, R_BREM, R_BIDX, R_BSUM, R_CPY, \
 NREG = 17
 
 
+def row_gather(table, rows):
+    """table[rows] for a 2D table, formulated as a FLAT element gather.
+
+    A plain `table[rows]` emits an embedding-style row-lookup gather
+    (slice_sizes [1, W]); on the axon TPU relay, executing any such
+    program permanently drops the process into a synchronized dispatch
+    mode (~29 ms per launch, measured tools/probe-series 2026-08-17) —
+    likely the SparseCore offload path. The flat element-gather form
+    lowers to the TensorCore path and keeps async dispatch."""
+    w = table.shape[1]
+    flat = table.reshape(-1)
+    cols = jnp.arange(w, dtype=jnp.int32)
+    return flat[rows[..., None] * w + cols]
+
+
 class DecoderTables(NamedTuple):
     """Decode LUT (reference layout:
     src/ans/models/model4decoder.rs:18-68, re-packed TPU-first into 8-byte
@@ -106,6 +121,18 @@ CodecParams = tuple
 def build_decoder_tables(model: ANSModel, stream) -> tuple[DecoderTables, CodecParams]:
     """Expands the encoder model + u16 stream into the flat decode buffer
     (host-side) and the static parameter tuple."""
+    lut, stream_rows, params = build_decoder_tables_np(model, stream)
+    return (DecoderTables(lut=jnp.asarray(lut),
+                          stream_rows=jnp.asarray(stream_rows)),
+            tuple(params))
+
+
+def build_decoder_tables_np(model: ANSModel, stream):
+    """Host-side table build: returns (lut u32 [slots, 2],
+    stream_rows u32 [rows, 16], params list). Callers that also need
+    device copies keep BOTH — reading a device array back to the host
+    is never done (see row_gather for the axon dispatch hazard; on any
+    TPU it is a needless sync)."""
     fc_parts, sf_parts = [], []
     params = []
     base = 0
@@ -159,9 +186,7 @@ def build_decoder_tables(model: ANSModel, stream) -> tuple[DecoderTables, CodecP
     lut = np.stack([fc, sf], axis=1)
     params.append(slots)
     params.append(max_folds)
-    return (DecoderTables(lut=jnp.asarray(lut),
-                          stream_rows=jnp.asarray(stream_rows)),
-            tuple(params))
+    return lut, stream_rows, params
 
 
 def _per_comp_const(comp, params: CodecParams, field: int):
@@ -192,7 +217,7 @@ def fetch_window(tables: DecoderTables, ptr, rows_back: int,
     for k in range(rows_back - 1, -1, -1):
         rel = jnp.maximum(rp - k, 0)
         row = rel if base_rows is None else base_rows + rel
-        parts.append(tables.stream_rows[row])  # [L, PAIRS_PER_ROW]
+        parts.append(row_gather(tables.stream_rows, row))  # [L, PAIRS]
     win = jnp.concatenate(parts, axis=1).T  # low->high
     # pbase may go negative near the stream start; the clamped duplicate
     # low rows are then never addressed (valid streams never read below 0)
@@ -288,7 +313,9 @@ def ans_decode_step(params: CodecParams, tables: DecoderTables,
         row = jnp.broadcast_to(jnp.array([1, 0], jnp.uint32),
                                (slot.shape[0], 2))
     else:
-        row = lut[offset + slot]  # ONE 8-byte row DMA per lane per token
+        # ONE 8-byte row DMA per lane per token (flat-gather form; see
+        # row_gather)
+        row = row_gather(lut, (offset + slot).astype(jnp.int32))
     fc = row[:, 0]
     freq = fc & jnp.uint32(0xFFFF)
     cumul = fc >> np.uint32(16)

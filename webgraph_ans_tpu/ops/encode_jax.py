@@ -33,6 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ans.model import ANSModel
+from .decode_jax import row_gather
 
 B = 16
 LOWER_BOUND = np.uint32(1 << 16)
@@ -167,7 +168,7 @@ def encode_blocks(params, tables: EncoderTables, tokens, tstart, tend,
         cur = regs[E_CUR]
         active = cur > ends
         idx = jnp.maximum(cur - 1, 0)
-        row = tokens[idx]                       # [L, 2] one row gather
+        row = row_gather(tokens, idx)           # [L, 2] one row gather
         sym_in = jnp.where(active, row[:, 0], 0)
         comp = jnp.where(active, row[:, 1], 0)
 
@@ -205,7 +206,9 @@ def encode_blocks(params, tables: EncoderTables, tokens, tstart, tend,
             folds_left = folds_left - a.astype(folds_left.dtype)
         sym = jnp.where(folds > 0, sym + fold_off * folds, sym_in)
 
-        erow = tables.tab[offset + sym]          # [L, 4] one row gather
+        # [L, 4] one row DMA per lane per token (flat-gather form; see
+        # decode_jax.row_gather for why plain row indexing is avoided)
+        erow = row_gather(tables.tab, (offset + sym).astype(jnp.int32))
         fc = erow[:, 0]
         freq = fc & MASK16
         cumul = fc >> np.uint32(16)

@@ -13,8 +13,9 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..bvgraph.random_access import ANSBvGraph
-from .decode_jax import (ROW_SHIFT, build_decoder_tables, decode_blocks,
-                         fetch_block_tokens, round_cap, seed_rings)
+from .decode_jax import (ROW_SHIFT, DecoderTables, build_decoder_tables_np,
+                         decode_blocks, fetch_block_tokens, round_cap,
+                         seed_rings)
 
 
 class TpuGraphDecoder:
@@ -38,11 +39,17 @@ class TpuGraphDecoder:
         self.num_nodes = p.num_nodes
         self.num_arcs = p.num_arcs
         self.phase_step = p.phase_step
-        self.tables, self.params = build_decoder_tables(p.model, p.stream)
+        lut_np, stream_rows_np, params = build_decoder_tables_np(
+            p.model, p.stream)
+        self.lut_np = lut_np
+        self.tables = DecoderTables(lut=jnp.asarray(lut_np),
+                                    stream_rows=jnp.asarray(stream_rows_np))
+        self.params = tuple(params)
         # graph.states/pointers are already in node order (entry i = node
         # i * phase_step on sampled artifacts); pointers stay u64 on the
         # host and are rebased to per-lane i32 at decode time.
-        self.states = jnp.asarray(graph.states)
+        self.states_np = np.asarray(graph.states)
+        self.states = jnp.asarray(self.states_np)
         self.pointers = np.asarray(graph.pointers, dtype=np.int64)
         self._entry_table = None
         self._plans: dict[int, dict] = {}
@@ -240,7 +247,7 @@ class TpuGraphDecoder:
             return pl
         starts, ends = self._block_bounds(num_lanes)
         W = self.window
-        host_states = np.asarray(self.states)
+        host_states = self.states_np   # never read the device copy back
         host_ptrs = self.pointers
         base, rel = self._lane_bases(starts, ends)
         base_d = jnp.asarray(base)
@@ -281,6 +288,10 @@ class TpuGraphDecoder:
             starts=jnp.asarray(starts), ends=jnp.asarray(ends), ring=ring,
             states=jnp.asarray(entry_states),
             ptrs=jnp.asarray(rel), base=base_d,
+            # host copies so downstream planning never reads a device
+            # array back (see decode_raw's check docstring)
+            starts_np=starts, ends_np=ends, base_np=base, rel_np=rel,
+            states_np=entry_states,
             cap=round_cap(self.params, max(64, int(est * 1.3))))
         self._plans[num_lanes] = pl
         return pl
@@ -310,19 +321,118 @@ class TpuGraphDecoder:
             ring[rows[valid], col[valid]] = deg_arr[valid]
         return ring
 
-    def decode_raw(self, num_lanes: int = 256, cap: int | None = None):
+    # slab VMEM budget for the Pallas kernel (bytes); beyond this the
+    # XLA while-loop kernel takes over (or use more lanes).
+    PALLAS_SLAB_LIMIT = 10 << 20
+
+    def _use_pallas(self, num_lanes: int) -> bool:
+        import os
+        import jax
+        env = os.environ.get("WGT_PALLAS", "")
+        if env == "0":
+            return False
+        if env not in ("1", "interpret") and \
+                jax.default_backend() not in ("tpu", "axon"):
+            return False
+        return self._pallas_plan(num_lanes) is not None
+
+    def _pallas_plan(self, num_lanes: int):
+        """Pallas decode plan: per-lane stream SEGMENTS gathered into a
+        VMEM slab + the packed initial register file (see
+        ops/decode_pallas.py). Cached alongside the XLA plan. Returns
+        None when the segments exceed the slab VMEM budget."""
+        from . import decode_pallas as dp
+
+        base_pl = self.plan(num_lanes)
+        pp = base_pl.get("pallas")
+        if pp is not None:
+            return pp or None
+        starts = np.asarray(base_pl["starts_np"], np.int64)
+        ends = np.asarray(base_pl["ends_np"], np.int64)
+        base = np.asarray(base_pl["base_np"], np.int64)
+        rel = np.asarray(base_pl["rel_np"], np.int64)
+        entry_abs = (base << ROW_SHIFT) + rel
+        n = self.num_nodes
+        if self.phase_step == 1:
+            end_abs = np.where(ends < n,
+                               self.pointers[np.minimum(ends, n - 1)], 0)
+        else:
+            _, end_ptr = self._entry_lookup(np.where(ends < n, ends, n))
+            end_abs = np.where(ends < n, end_ptr, 0)
+        empty = starts >= ends
+        entry_abs = np.where(empty, 0, entry_abs)
+        end_abs = np.where(empty, 0, end_abs)
+        mf = self.params[10]
+        seg_base, smaxp = dp.plan_segments(entry_abs, end_abs, mf)
+        gpad = -(-len(starts) // 128) * 128
+        if smaxp * gpad * 4 > self.PALLAS_SLAB_LIMIT:
+            base_pl["pallas"] = False
+            return None
+        seg_pad = np.zeros(gpad, seg_base.dtype)
+        seg_pad[:len(seg_base)] = seg_base
+        if len(self.tables.stream_rows.reshape(-1)) < 1 << 31:
+            seg_pad = seg_pad.astype(np.int32)
+        slab = dp.build_slab(self.tables.stream_rows,
+                             jnp.asarray(seg_pad), smaxp, gpad)
+        rel_seg = entry_abs - 2 * seg_base
+        # built ON DEVICE: the plan path must never fetch device data
+        # (the ring seed stays a device array; see make_init_regs_device)
+        init = dp.make_init_regs_device(
+            base_pl["states"], rel_seg, starts, ends, base_pl["ring"],
+            self.window)
+        if not hasattr(self, "_pallas_lut"):
+            self._pallas_lut = dp.build_pallas_lut(self.params,
+                                                   self.lut_np)
+        pp = dict(slab=slab, init=init, lut=self._pallas_lut[0])
+        base_pl["pallas"] = pp
+        return pp
+
+    def decode_raw(self, num_lanes: int = 256, cap: int | None = None,
+                   check: bool = True):
         """Lane-parallel token decode of the whole graph; returns the raw
         DEVICE output (out, counts, cap) of decode_blocks (see
-        ops/decode_jax.py for the layout) — no host transfer."""
+        ops/decode_jax.py for the layout) — no host transfer. Runs the
+        Pallas kernel (ops/decode_pallas.py) when the backend supports
+        it and the stream segments fit VMEM; the XLA while-loop kernel
+        otherwise (same output contract, token-identical).
+
+        check=False skips the cap-overflow verification (a device->host
+        read of the ok flags) entirely: no retry, and the call issues
+        ZERO host syncs — the steady-state serving/bench mode, used with
+        a cap known to cover the graph (tighten_cap). On the axon relay
+        a single host read permanently degrades dispatch latency, so
+        fetch-free paths are load-bearing there; on real TPUs they are
+        simply lower-latency."""
+        import os
+
         pl = self.plan(num_lanes)
         auto = cap is None
+        if self._use_pallas(num_lanes):
+            from .decode_pallas import decode_blocks_pallas
+
+            pp = self._pallas_plan(num_lanes)
+            interp = os.environ.get("WGT_PALLAS") == "interpret"
+            cap = pl["cap"] if auto else round_cap(self.params, cap)
+            while True:
+                out, counts, ok = decode_blocks_pallas(
+                    self.params, pp["lut"], pp["slab"], pp["init"],
+                    self.window, self.min_interval, cap,
+                    interpret=interp)
+                L = len(pl["starts"])
+                out, counts, ok = out[:, :L], counts[:L], ok[:L]
+                if not check or bool(np.all(np.asarray(ok))):
+                    break
+                cap *= 2
+            if auto:
+                pl["cap"] = cap
+            return out, counts, cap
         cap = pl["cap"] if auto else round_cap(self.params, cap)
         while True:
             out, counts, ok = decode_blocks(
                 self.params, self.tables, pl["states"], pl["ptrs"],
                 pl["starts"], pl["ends"], pl["ring"],
                 self.window, self.min_interval, cap, pl["base"])
-            if bool(np.all(np.asarray(ok))):
+            if not check or bool(np.all(np.asarray(ok))):
                 break
             cap *= 2
         if auto:

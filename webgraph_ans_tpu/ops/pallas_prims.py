@@ -39,15 +39,31 @@ def tree_select_rows8(table, gidx, ngroups: int):
     repeats of group 0 (callers guarantee gidx < ngroups)."""
     W = table.shape[1]
     nodes = [table[k * 8:(k + 1) * 8, :] for k in range(ngroups)]
+    return _tree(nodes, gidx, (8, W))
+
+
+def _tree(nodes, idx, shape):
+    """where-tree select of nodes[idx] (idx < len(nodes)); pads to a
+    power of two with the last node and collapses degenerate pairs, so
+    non-pow2 counts cost only ~n wheres."""
+    nodes = list(nodes)
     n = 1
-    while n < ngroups:
+    while n < len(nodes):
         n *= 2
-    nodes = nodes + [nodes[0]] * (n - ngroups)
+    nodes = nodes + [nodes[-1]] * (n - len(nodes))
     b = 0
     while len(nodes) > 1:
-        mask = jnp.broadcast_to(_bit(gidx, b), (8, W))
-        nodes = [jnp.where(mask, nodes[2 * k + 1], nodes[2 * k])
-                 for k in range(len(nodes) // 2)]
+        mask = None
+        nxt = []
+        for k in range(len(nodes) // 2):
+            lo, hi = nodes[2 * k], nodes[2 * k + 1]
+            if lo is hi:
+                nxt.append(lo)
+                continue
+            if mask is None:
+                mask = jnp.broadcast_to((idx >> b) & 1 == 1, shape)
+            nxt.append(jnp.where(mask, hi, lo))
+        nodes = nxt
         b += 1
     return nodes[0]
 
@@ -94,20 +110,8 @@ def lut_gather(lut, idx, nrows: int):
     return dyn_row(ga, q, nrows)
 
 
-def select8(parts, idx):
-    """8-way select among `parts` (each [R, W]) by idx [R or 1, W] in
-    [0, len(parts)): a where-tree (select_n is not lowered by Mosaic).
-    len(parts) must be a power of two or is padded with parts[0]."""
-    nodes = list(parts)
-    n = 1
-    while n < len(nodes):
-        n *= 2
-    nodes = nodes + [nodes[0]] * (n - len(nodes))
-    shape = nodes[0].shape
-    b = 0
-    while len(nodes) > 1:
-        mask = jnp.broadcast_to((idx >> b) & 1 == 1, shape)
-        nodes = [jnp.where(mask, nodes[2 * k + 1], nodes[2 * k])
-                 for k in range(len(nodes) // 2)]
-        b += 1
-    return nodes[0]
+def select_tree(parts, idx):
+    """N-way select among `parts` (same shape each) by idx (same or
+    broadcastable shape) in [0, len(parts)): a where-tree (lax.select_n
+    is not lowered by Mosaic)."""
+    return _tree(parts, idx, parts[0].shape)
