@@ -1,0 +1,147 @@
+"""Per-measurement device benchmark subprocess.
+
+Measures ONE pipeline stage per process, so measurements cannot
+contaminate each other: on the axon remote-device relay, dispatch cost
+grows with process history (number of prior fetches/dispatches), which
+made late bench sections read 3-9x slower than the same computation in a
+fresh process (tools/probe_e2e_gap.py vs BENCH logs).
+
+Protocol: one tiny fetch up front pins the relay in its eager-sync
+dispatch mode (its lazy pre-fetch mode defers execution and replays with
+seconds/call overhead at the final fetch — measured, see ROADMAP notes);
+then warm up, then `reps` timed calls, each drained with
+block_until_ready; report the MEDIAN. Per-call wall = device execution +
+a constant relay round trip (~30 ms here, ~0 on a local TPU), so the
+reported number is an honest upper bound on device time.
+
+Usage: bench_device.py BASE MODE [reps] [lanes]
+  MODE = pallas | xla | e2e | encode
+Env: WGT_BENCH_CAP (required), WGT_BENCH_META (e2e), WGT_BENCH_SRC +
+WGT_BENCH_EST (encode).
+Prints one JSON line {"mode":..., "reps": N, "sec_per_rep": s,
+"ns_per_arc": x}.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    base = sys.argv[1]
+    mode = sys.argv[2]
+    reps = int(sys.argv[3]) if len(sys.argv) > 3 else 7
+    L = int(sys.argv[4]) if len(sys.argv) > 4 else 2048
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("WGT_JAX_CACHE", "/tmp/wgt_jax_cache"))
+    import jax.numpy as jnp
+    import numpy as np
+
+    from webgraph_ans_tpu.bvgraph.random_access import ANSBvGraph
+    from webgraph_ans_tpu.ops.graph_decode import TpuGraphDecoder
+
+    # pin eager-sync dispatch mode before anything is timed
+    np.asarray(jnp.zeros(1))
+
+    g = ANSBvGraph.load(base)
+    dec = TpuGraphDecoder(g)
+    arcs = g.num_arcs
+
+    # cap comes from the parent (tighten_cap costs a decode; the parent
+    # already knows the tight cap for the artifact)
+    cap = int(os.environ["WGT_BENCH_CAP"])
+
+    if mode in ("pallas", "xla"):
+        if mode == "xla":
+            os.environ["WGT_PALLAS"] = "0"
+        run = lambda: dec.decode_raw(L, cap, check=False)[1][:1]
+    elif mode == "e2e":
+        # steady-state reconstruction needs the meta vector for static
+        # shapes; the parent passes it (it verified bit-exactness itself)
+        from webgraph_ans_tpu.ops.reconstruct_device import (
+            _quant, parse_and_assemble)
+        meta = np.array(json.loads(os.environ["WGT_BENCH_META"]), np.int32)
+        total_iv, total_cop, max_depth = (int(meta[1]), int(meta[2]),
+                                          int(meta[3]))
+        hist_key = (tuple(int(c) for c in meta[4:4 + max_depth + 1][1:])
+                    if total_cop and max_depth > 0 else ())
+        n, E = g.num_nodes, int(g.num_arcs)
+        mi = g.prelude.min_interval_length
+
+        def run():
+            out, _, _ = dec.decode_raw(L, cap, check=False)
+            offsets, F, meta_d = parse_and_assemble(
+                out, n, cap, mi, _quant(E + 1),
+                _quant(total_iv) if total_iv else 0, _quant(total_cop),
+                hist_key)
+            return offsets[:1]
+    elif mode == "serve":
+        # random-access serving: device CSR built once (reported by the
+        # e2e metric), then each rep gathers 2^20 random rows
+        from webgraph_ans_tpu.ops.random_tpu import TpuCsrServer, gather_rows
+        from webgraph_ans_tpu.ops.reconstruct_device import _quant
+        srv = TpuCsrServer(dec, num_lanes=L)
+        B = 1 << 20
+        out_cap = _quant(int(B * (arcs / g.num_nodes) * 1.3))
+        keys = [jax.random.PRNGKey(i) for i in range(reps + 2)]
+
+        def run(i=[0]):
+            q = jax.random.randint(keys[i[0] % len(keys)], (B,), 0,
+                                   g.num_nodes, dtype=jnp.int32)
+            i[0] += 1
+            o, off, tot = gather_rows(srv.offsets, srv.succs, q, out_cap)
+            return tot
+
+        jax.block_until_ready(run())
+        jax.block_until_ready(run())
+        ts, tots = [], []
+        for _ in range(reps):
+            t0 = time.time()
+            tot = run()
+            jax.block_until_ready(tot)
+            ts.append(time.time() - t0)
+            tots.append(int(tot))
+        assert max(tots) <= out_cap
+        sec = float(np.median(ts))
+        per_arc = sec / float(np.mean(tots)) * 1e9
+        print(json.dumps({"mode": mode, "reps": reps, "sec_per_rep": sec,
+                          "queries_per_rep": B, "arcs_per_rep":
+                          float(np.mean(tots)), "ns_per_arc": per_arc}))
+        return
+    elif mode == "encode":
+        import pickle
+
+        from webgraph_ans_tpu.bvgraph.graph import load_bvgraph
+        from webgraph_ans_tpu.bvgraph.store import dump_tokens
+        from webgraph_ans_tpu.ops.encode_jax import encode_blocks, encode_plan
+        adj, _ = load_bvgraph(os.environ["WGT_BENCH_SRC"])
+        with open(os.environ["WGT_BENCH_EST"], "rb") as f:
+            est_tables = pickle.load(f)
+        vals, comps = dump_tokens(adj, g.prelude.compression_window, 3,
+                                  g.prelude.min_interval_length, est_tables)
+        eplan = encode_plan(g.prelude.model, vals, comps, num_blocks=L)
+        eparams, etables, tokens_d, tstart_d, tend_d, ecap = eplan[:6]
+        run = lambda: encode_blocks(eparams, etables, tokens_d, tstart_d,
+                                    tend_d, ecap)[3][:1]
+    else:
+        raise SystemExit(f"unknown mode {mode}")
+
+    jax.block_until_ready(run())      # compile + warm
+    jax.block_until_ready(run())
+    ts = []
+    for _ in range(reps):
+        t0 = time.time()
+        jax.block_until_ready(run())
+        ts.append(time.time() - t0)
+    sec = float(np.median(ts))
+    print(json.dumps({"mode": mode, "reps": reps, "sec_per_rep": sec,
+                      "ns_per_arc": sec / arcs * 1e9}))
+
+
+if __name__ == "__main__":
+    main()
