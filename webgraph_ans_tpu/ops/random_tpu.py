@@ -144,7 +144,8 @@ def gather_rows(offsets, succs, q, out_cap: int):
     one out_cap-gather for the values."""
     B = q.shape[0]
     q = q.astype(jnp.int32)
-    row_len = offsets[q + 1] - offsets[q]
+    row_start = offsets[q]
+    row_len = offsets[q + 1] - row_start
     out_off = jnp.concatenate(
         [jnp.zeros(1, jnp.int32), jnp.cumsum(row_len)])
     total = out_off[B]
@@ -152,7 +153,12 @@ def gather_rows(offsets, succs, q, out_cap: int):
         1, mode="drop")
     seg = jnp.clip(jnp.cumsum(bumps), 0, B - 1)
     t = jnp.arange(out_cap, dtype=jnp.int32)
-    src = offsets[q[seg]] + (t - out_off[seg])
+    # rebase combines "row start in succs" and "row start in out" into
+    # one per-query value, so the out_cap-scale work is TWO gathers
+    # (rebase[seg], succs[src]) instead of four — gathers dominate at
+    # ~7 ns/element on v5e (tools/probe_prims2.py)
+    rebase = row_start - out_off[:B]
+    src = rebase[seg] + t
     live = t < total
     out = jnp.where(live, succs[jnp.where(live, src, 0)], 0)
     return out, out_off, total

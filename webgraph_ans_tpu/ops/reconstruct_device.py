@@ -69,11 +69,16 @@ def _quant(x: int) -> int:
 
 
 def _unpack(out, cap: int):
-    """decode_blocks output -> lane-major flat (v, nib) token arrays."""
+    """decode_blocks output -> lane-major flat (v, nib) token arrays.
+    The nibble rows are unpacked by broadcasting the 8 shifts over the
+    packed [cap/8, G] rows and re-interleaving with a major-dims-only
+    transpose — an elementwise pass instead of a P-scale row gather
+    (the gather costs ~7 ns/element on v5e, tools/probe_prims2.py)."""
     vals2d = out[:cap]
     cpk = out[cap:]
-    steps = jnp.arange(cap)
-    nib2d = (cpk[steps // UNROLL] >> ((steps % UNROLL) * 4)[:, None]) & 0xF
+    shifts = jnp.arange(UNROLL, dtype=jnp.uint32) * 4
+    nib3 = (cpk[None, :, :] >> shifts[:, None, None]) & 0xF
+    nib2d = jnp.transpose(nib3, (1, 0, 2)).reshape(cap, -1)
     v = vals2d.T.reshape(-1).astype(I32)
     nib = nib2d.T.reshape(-1).astype(I32)
     return v, nib
@@ -108,6 +113,22 @@ def _bcast_runs(size: int, starts_n, vals_n, mask_n):
     return jnp.cumsum(arr)
 
 
+def _bcast_runs_multi(size: int, starts_n, vals_list, mask_n):
+    """_bcast_runs for several value channels sharing (starts, mask):
+    one [C, size] stacked scatter + one stacked cumsum."""
+    key = jnp.where(mask_n, starts_n, size)
+    order = jnp.argsort(key)
+    st = key[order]
+    keep = st < size
+    sv = jnp.stack([v[order] for v in vals_list])
+    delta = sv - jnp.concatenate(
+        [jnp.zeros((len(vals_list), 1), I32), sv[:, :-1]], axis=1)
+    arr = jnp.zeros((len(vals_list), size), I32).at[
+        :, jnp.where(keep, st, size)].add(
+        jnp.where(keep[None, :], delta, 0), mode="drop")
+    return jnp.cumsum(arr, axis=1)
+
+
 def _depth_order(depth, ncop):
     """Nodes ordered by (reference-chain depth, node): pi = the order, cb =
     each node's copy-element base within that order (indexed by ORIGINAL
@@ -132,7 +153,30 @@ def parse_stats(out, num_nodes: int, cap: int, min_interval: int):
     pos = jnp.arange(P, dtype=I32)
 
     is_out = nib == 0
-    nd = jnp.clip(jnp.cumsum(is_out.astype(I32)) - 1, 0, n - 1)
+    prev_nib = jnp.concatenate([jnp.full(1, 0xF, I32), nib[:-1]])
+    is_blk = nib == 3
+    # A node's block tokens are consecutive (grammar: bc then bc x blk),
+    # and runs of different nodes are always separated by outd/ref/bc
+    # tokens, so "not the node's first block" == previous token is a
+    # block. First block's length is v, later blocks v+1
+    # (native/src/bvgraph.hpp read_successors).
+    b = v + (is_blk & (prev_nib == 3)).astype(I32)
+    is_il = nib == 6
+    is_fr = nib == 7
+
+    # One stacked cumsum carries every independent per-token channel
+    # (stacking is free: cumsum over [C, P] costs the same as over [P],
+    # tools/probe_prims2.py); per-node sums then need ONE [C, n+1]
+    # gather at the node starts instead of 2 gathers per channel.
+    ch = jnp.stack([
+        is_out.astype(I32),                      # 0: node counter
+        is_blk.astype(I32),                      # 1: block counter
+        jnp.where(is_blk, b, 0),                 # 2: block length sum
+        jnp.where(is_il, v + min_interval, 0),   # 3: interval elements
+        (is_fr | (nib == 8)).astype(I32),        # 4: residual count
+    ])
+    cs = jnp.cumsum(ch, axis=1)
+    nd = jnp.clip(cs[0] - 1, 0, n - 1)
 
     # Node start positions: position of each node's outdegree token.
     # Exactly one outdegree token per node, so a plain set-scatter works
@@ -141,11 +185,14 @@ def parse_stats(out, num_nodes: int, cap: int, min_interval: int):
         jnp.where(is_out, nd, n)].set(pos, mode="drop")
     spx = jnp.concatenate([sp, jnp.full((1,), P, I32)])
 
-    def node_sum(mask, val):
-        """Per-node sum of val over the node's masked tokens: one free
-        P-cumsum + two n-scale gathers. Exact under int32 wraparound."""
-        csx = _excl(jnp.cumsum(jnp.where(mask, val, 0)))
-        return csx[spx[1:]] - csx[spx[:-1]]
+    # exclusive stacked cumsum at the n+1 node boundaries; adjacent
+    # differences are the per-node sums
+    csb = jnp.where((spx > 0)[None, :],
+                    cs[:, jnp.maximum(spx - 1, 0)], 0)
+    nsums = csb[:, 1:] - csb[:, :-1]
+    blocks_sum = nsums[2]
+    niv_tot = nsums[3]
+    nres = nsums[4]
 
     # Fields at fixed offsets from the node start (guarded by padding).
     vxp = jnp.concatenate([v, jnp.zeros(3, I32)])
@@ -155,35 +202,20 @@ def parse_stats(out, num_nodes: int, cap: int, min_interval: int):
     has_ref = ref > 0
     bc = jnp.where(has_ref & (nibp[sp + 2] == 2), vxp[sp + 2], 0)
 
-    def local_cumsum(mask, contrib):
-        """Within-node inclusive running sum via inject-reset: scatter
-        -delta(node base) at node starts so the global cumsum resets to
-        the node-local value. Injections accumulate through the cumsum,
-        so each node injects the DELTA of bases (= previous node's
-        total), not its absolute base. Exact under int32 wraparound."""
-        masked = jnp.where(mask, contrib, 0)
-        base = _excl(jnp.cumsum(masked))[sp]
-        delta = base - jnp.concatenate([jnp.zeros(1, I32), base[:-1]])
-        inj = jnp.zeros(P, I32).at[sp].add(-delta)
-        return jnp.cumsum(masked + inj)
-
-    # Block lengths: first block's length is v, later blocks v+1
-    # (native/src/bvgraph.hpp read_successors).
-    is_blk = nib == 3
-    blk_idx = local_cumsum(is_blk, jnp.ones(P, I32)) - 1
-    b = v + (blk_idx > 0).astype(I32)
-    blocks_sum = node_sum(is_blk, b)
-    ncop_blocks = node_sum(is_blk & (blk_idx % 2 == 0), b)
+    # Even-indexed (copy) blocks: block index within the node = block
+    # counter minus the node's base, broadcast via one delta scatter +
+    # one cumsum (the bc token sits at sp+2, so the inclusive block
+    # count there is the node's exclusive base).
+    blk_base_n = cs[1][jnp.minimum(sp + 2, P - 1)]
+    base_bcast = _bcast_runs(P, sp, blk_base_n, jnp.ones(n, bool))
+    blk_even = is_blk & (((cs[1] - 1 - base_bcast) & 1) == 0)
+    cs_even = _excl(jnp.cumsum(jnp.where(blk_even, b, 0)))
+    ncop_blocks = cs_even[spx[1:]] - cs_even[spx[:-1]]
 
     parent = jnp.clip(jnp.arange(n, dtype=I32) - ref, 0, n - 1)
     d_ref = jnp.where(has_ref, d[parent], 0)
     tail_len = jnp.where(has_ref & (bc % 2 == 0), d_ref - blocks_sum, 0)
     ncop = ncop_blocks + tail_len
-
-    is_il = nib == 6
-    niv_tot = node_sum(is_il, v + min_interval)
-    is_fr = nib == 7
-    nres = node_sum(is_fr | (nib == 8), jnp.ones(P, I32))
 
     ok = jnp.all(ncop + niv_tot + nres == d)
     offsets = jnp.concatenate([jnp.zeros(1, I32), jnp.cumsum(d)])
@@ -222,74 +254,86 @@ def place(v, nib, sp, offsets, ncop, niv_tot, tail_len, depth,
     (buf[Epad:]) record each run's VALUE, packed (val<<1)|1 so a
     last-valid scan can broadcast it to the run's elements. The copy
     channel is laid out in (depth, node) grouped element order, so depth
-    rounds later slice it directly."""
+    rounds later slice it directly.
+
+    All per-token running sums ride ONE stacked [C, P] cumsum; the
+    per-node resets and per-node broadcasts ride ONE stacked delta
+    scatter at the node starts plus a second stacked cumsum (stacking is
+    free on v5e, tools/probe_prims2.py; the per-channel scatter/cumsum
+    version cost ~45 ms more at cnr-2000 scale)."""
     P = v.shape[0]
     n = sp.shape[0]
+    prev_nib = jnp.concatenate([jnp.full(1, 0xF, I32), nib[:-1]])
+    prev_v = jnp.concatenate([jnp.zeros(1, I32), v[:-1]])
     is_out = nib == 0
-    nd = jnp.clip(jnp.cumsum(is_out.astype(I32)) - 1, 0, n - 1)
-
-    def local_cumsum(mask, contrib):
-        """Within-node inclusive running sum via inject-reset (see
-        parse_stats); injects the DELTA of node bases, exact mod 2^32."""
-        masked = jnp.where(mask, contrib, 0)
-        base = _excl(jnp.cumsum(masked))[sp]
-        delta = base - jnp.concatenate([jnp.zeros(1, I32), base[:-1]])
-        inj = jnp.zeros(P, I32).at[sp].add(-delta)
-        return jnp.cumsum(masked + inj)
-
-    def bcast_sp(vals_n):
-        """Broadcast a per-node value to all its token positions."""
-        delta = vals_n - jnp.concatenate([jnp.zeros(1, I32), vals_n[:-1]])
-        return jnp.cumsum(jnp.zeros(P, I32).at[sp].add(delta))
-
-    # ---- residuals: value = local cumsum of (first: node + nat2int,
-    # gaps: v+1); dest = offsets+ncop+niv_tot base + residual rank ----
+    is_blk = nib == 3
+    b = v + (is_blk & (prev_nib == 3)).astype(I32)
     is_fr = nib == 7
     m = is_fr | (nib == 8)
-    res_val = local_cumsum(m, jnp.where(is_fr, nd + _nat2int(v), v + 1))
-    rank = local_cumsum(m, jnp.ones(P, I32)) - 1
-    dest_r = bcast_sp(offsets[:n] + ncop + niv_tot) + rank
-
-    # ---- interval runs: the run's first left value, seeded at IL tokens
-    # in global interval-element order ----
     is_il = nib == 6
     ilen = v + min_interval
     live_il = is_il & (ilen > 0)
-    cum_iv = jnp.cumsum(jnp.where(is_il, ilen, 0))     # global element idx
-    cum_excl_iv = cum_iv - jnp.where(is_il, ilen, 0)
     is_is = nib == 5
-    prev_nib = jnp.concatenate([jnp.full(1, 0xF, I32), nib[:-1]])
-    prev_v = jnp.concatenate([jnp.zeros(1, I32), v[:-1]])
     first_iv = is_is & (prev_nib == 4)
-    lefts = local_cumsum(is_is, jnp.where(
-        first_iv, nd + _nat2int(v), v + 1 + prev_v + min_interval))
+
+    # ---- stage 1: stacked global cumsums ----
+    ch = jnp.stack([
+        is_out.astype(I32),                                   # 0 -> nd
+        jnp.where(m, jnp.where(is_fr, _nat2int(v), v + 1), 0),  # 1 res
+        m.astype(I32),                                        # 2 res rank
+        jnp.where(is_is, jnp.where(                           # 3 lefts
+            first_iv, _nat2int(v), v + 1 + prev_v + min_interval), 0),
+        jnp.where(is_blk, b, 0),                              # 4 blk runs
+        jnp.where(is_il, ilen, 0),                            # 5 cum_iv
+        is_blk.astype(I32),                                   # 6 blk index
+    ])
+    cs = jnp.cumsum(ch, axis=1)
+    nd = jnp.clip(cs[0] - 1, 0, n - 1)
+
+    # ---- stage 2: per-node resets (channels 1,2,3,4,6) and per-node
+    # broadcasts, one stacked scatter + cumsum ----
+    _, cb = _depth_order(depth, ncop)
+    ncb = _excl(jnp.cumsum(ncop))[:n]
+    tail_b = _excl(jnp.cumsum(tail_len))[:n]
+    RESET = (1, 2, 3, 4, 6)
+    base_n = jnp.where((sp > 0)[None, :],
+                       cs[jnp.array(RESET)][:, jnp.maximum(sp - 1, 0)], 0)
+    bvals = jnp.concatenate([
+        base_n,
+        (offsets[:n] + ncop + niv_tot)[None, :],   # 5: dest_r base
+        tail_b[None, :],                           # 6: tail_bb
+        (cb - ncb)[None, :],                       # 7: depth-group shift
+    ])                                             # [8, n]
+    deltas = bvals - jnp.concatenate(
+        [jnp.zeros((8, 1), I32), bvals[:, :-1]], axis=1)
+    bb = jnp.cumsum(jnp.zeros((8, P), I32).at[:, sp].add(deltas), axis=1)
+
+    res_val = cs[1] - bb[0] + nd
+    rank = cs[2] - bb[1] - 1
+    dest_r = bb[5] + rank
+    lefts = cs[3] - bb[2] + nd
     lefts_prev = jnp.concatenate([jnp.zeros(1, I32), lefts[:-1]])
+    cum_excl_iv = cs[5] - jnp.where(is_il, ilen, 0)
     # element t of the run at this token has value adj_val + t
     adj_val = lefts_prev - cum_excl_iv
 
     # ---- copy runs (even-indexed blocks with positive length; the
     # reference-tail run is n-scale and handled in copy_fields), channel
     # in (depth, node) grouped element order ----
-    is_blk = nib == 3
-    blk_idx = local_cumsum(is_blk, jnp.ones(P, I32)) - 1
-    b = v + (blk_idx > 0).astype(I32)
+    blk_idx = cs[6] - bb[4] - 1                    # 0-based within node
     own = is_blk & (blk_idx % 2 == 0) & (b > 0)
     cop_own = jnp.where(own, b, 0)
-    cum_own = jnp.cumsum(cop_own)                      # own elements only
+    cum_own = jnp.cumsum(cop_own)                  # own elements only
     cum_excl_own = cum_own - cop_own
-    # node-order element index accounts for tails of earlier nodes
-    tail_bb = bcast_sp(_excl(jnp.cumsum(tail_len))[:n])
-    own_start = cum_excl_own + tail_bb
-    # depth-grouped element index: shift each node's elements from its
+    # node-order element index accounts for tails of earlier nodes;
+    # depth-grouped index shifts each node's elements from its
     # node-order base to its (depth, node)-order base
-    _, cb = _depth_order(depth, ncop)
-    ncb = _excl(jnp.cumsum(ncop))[:n]
-    q_start = own_start + bcast_sp(cb - ncb)
-    # start of this block within the REFERENCED list: local running sum of
-    # block lengths before this token. Element at depth-order index q of
-    # the run starting at q0 copies parent slot blk_run_start + (q - q0)
-    # = Bq + q with the per-run constant Bq below.
-    blk_run_start = local_cumsum(is_blk, b) - jnp.where(is_blk, b, 0)
+    q_start = cum_excl_own + bb[6] + bb[7]
+    # start of this block within the REFERENCED list: local running sum
+    # of block lengths before this token. Element at depth-order index q
+    # of the run starting at q0 copies parent slot blk_run_start +
+    # (q - q0) = Bq + q with the per-run constant Bq below.
+    blk_run_start = cs[4] - bb[3] - jnp.where(is_blk, b, 0)
     Bq = blk_run_start - q_start
 
     # ---- the combined scatter: three disjoint token classes, three
@@ -337,12 +381,13 @@ def copy_fields(ch_own, offsets, ncop, tail_len, blocks_sum, parent, depth,
     _, cb = _depth_order(depth, ncop)
     cmask = ncop > 0
     par_off = offsets[parent]
+    # all four run broadcasts share (starts=cb, mask=cmask): one stacked
+    # delta scatter + one stacked cumsum instead of four of each
+    thr, par_el, pob_el, slot_base = _bcast_runs_multi(
+        Ccap, cb, [cb + ncop - tail_len, par_off, par_off + blocks_sum,
+                   offsets[:n] - cb], cmask)
     # element is in the reference-tail run iff t >= tail element start
-    thr = _bcast_runs(Ccap, cb, cb + ncop - tail_len, cmask)
     in_tail = t >= thr
-    par_el = _bcast_runs(Ccap, cb, par_off, cmask)
-    pob_el = _bcast_runs(Ccap, cb, par_off + blocks_sum, cmask)
-    slot_base = _bcast_runs(Ccap, cb, offsets[:n] - cb, cmask)
     src = jnp.where(in_tail, pob_el + (t - thr), par_el + Bq_el + t)
     slot = jnp.where(live, slot_base + t, Epad)
     src = jnp.where(live, jnp.clip(src, 0, Epad - 1), 0)
