@@ -118,16 +118,19 @@ def main():
 
         from webgraph_ans_tpu.bvgraph.graph import load_bvgraph
         from webgraph_ans_tpu.bvgraph.store import dump_tokens
-        from webgraph_ans_tpu.ops.encode_jax import encode_blocks, encode_plan
+        from webgraph_ans_tpu.ops.encode_jax import (encode_blocks_auto,
+                                                     encode_plan)
         adj, _ = load_bvgraph(os.environ["WGT_BENCH_SRC"])
         with open(os.environ["WGT_BENCH_EST"], "rb") as f:
             est_tables = pickle.load(f)
         vals, comps = dump_tokens(adj, g.prelude.compression_window, 3,
                                   g.prelude.min_interval_length, est_tables)
         eplan = encode_plan(g.prelude.model, vals, comps, num_blocks=L)
-        eparams, etables, tokens_d, tstart_d, tend_d, ecap = eplan[:6]
-        run = lambda: encode_blocks(eparams, etables, tokens_d, tstart_d,
-                                    tend_d, ecap)[3][:1]
+        (eparams, etables, tokens_d, tstart_d, tend_d, ecap, tstart, tend,
+         _bn, tab_np) = eplan
+        run = lambda: encode_blocks_auto(
+            eparams, etables, tokens_d, tstart_d, tend_d, ecap, tstart,
+            tend, tab_np)[3][:1]
     else:
         raise SystemExit(f"unknown mode {mode}")
 

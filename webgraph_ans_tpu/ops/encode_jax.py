@@ -104,7 +104,7 @@ def build_encoder_tables(model: ANSModel):
         base += n
     tab = np.concatenate(rows) if rows else np.zeros((1, 4), np.uint32)
     params.append(max_folds)
-    return EncoderTables(tab=jnp.asarray(tab)), tuple(params)
+    return EncoderTables(tab=jnp.asarray(tab)), tuple(params), tab
 
 
 def _enc_const(comp, params, field: int):
@@ -278,7 +278,7 @@ def encode_plan(model: ANSModel, values: np.ndarray, comps: np.ndarray,
     if np.any(values >> 31):
         raise ValueError("token values must fit in uint31 for the TPU encoder")
 
-    tables, params = build_encoder_tables(model)
+    tables, params, tab_np = build_encoder_tables(model)
 
     # block boundaries at node starts, balanced in TOKEN space
     node_starts = np.nonzero(comps == 0)[0]
@@ -301,8 +301,9 @@ def encode_plan(model: ANSModel, values: np.ndarray, comps: np.ndarray,
     tokens = np.stack([values.astype(np.uint32),
                        comps.astype(np.uint32)], axis=1)
     cap = max(int((tend - tstart).max()) if len(tstart) else 1, 1)
+    cap = -(-cap // 8) * 8   # Pallas grid granularity; XLA exits early
     return (params, tables, jnp.asarray(tokens), jnp.asarray(tstart),
-            jnp.asarray(tend), cap, tstart, tend, block_nodes)
+            jnp.asarray(tend), cap, tstart, tend, block_nodes, tab_np)
 
 
 def lane_encode_tokens(model: ANSModel, values: np.ndarray,
@@ -321,13 +322,14 @@ def lane_encode_tokens(model: ANSModel, values: np.ndarray,
     (start_nodes, entry_states, entry_ptrs)."""
     del window  # block starts no longer restricted to reference-safe nodes
     (params, tables, tokens_d, tstart_d, tend_d, cap, tstart, tend,
-     block_nodes) = encode_plan(model, values, comps, num_blocks)
+     block_nodes, tab_np) = encode_plan(model, values, comps, num_blocks)
     max_folds = params[9]
     EP = _emit_pairs(max_folds)
     T = len(values)
 
-    emit, states, final_states, wtotals, ok = encode_blocks(
-        params, tables, tokens_d, tstart_d, tend_d, cap)
+    emit, states, final_states, wtotals, ok = encode_blocks_auto(
+        params, tables, tokens_d, tstart_d, tend_d, cap, tstart, tend,
+        tab_np)
     assert bool(np.asarray(ok).all())
     wtot = np.asarray(wtotals)
     if len(wtot) and int(wtot.max()) >= (1 << 23):
@@ -377,3 +379,44 @@ def lane_encode_tokens(model: ANSModel, values: np.ndarray,
               (offsets + lane_totals).astype(np.uint64))
     return (stream, states_out.astype(np.uint32), pointers_out, final_state,
             blocks)
+
+
+# VMEM budget for the Pallas encode kernel's slabs (bytes); beyond this
+# the XLA while-loop kernel takes over (or use more encode blocks).
+PALLAS_ENC_SLAB_LIMIT = 13 << 20
+
+
+def encode_blocks_auto(params, tables: EncoderTables, tokens, tstart_d,
+                       tend_d, cap: int, tstart=None, tend=None,
+                       tab_np=None):
+    """Runs the Pallas encode kernel (ops/encode_pallas.py) when the
+    backend supports it and the token slabs fit VMEM; the XLA while-loop
+    kernel otherwise. Same output contract (emit, states, final_states,
+    wtotals, ok), trimmed to the real lane count."""
+    import os
+
+    use = tab_np is not None and tstart is not None
+    env = os.environ.get("WGT_PALLAS", "")
+    if env == "0":
+        use = False
+    elif env not in ("1", "interpret") and \
+            jax.default_backend() not in ("tpu", "axon"):
+        use = False
+    if use:
+        from . import encode_pallas as ep
+
+        smax, gpad = ep.plan_token_slabs(tstart, tend)
+        if smax * gpad * 4 + (smax // 8) * gpad * 4 > PALLAS_ENC_SLAB_LIMIT:
+            use = False
+    if not use:
+        return encode_blocks(params, tables, tokens, tstart_d, tend_d, cap)
+    L = len(tstart)
+    tabA, tabB, nrows = ep.build_pallas_enc_tables(tab_np)
+    vslab, cslab = ep.build_token_slabs(tokens, tstart_d, tend_d, smax,
+                                        gpad)
+    init = jnp.asarray(ep.make_enc_init_regs(tstart, tend))
+    emit, states, final_states, wtotals, ok = ep.encode_blocks_pallas(
+        params, tabA, tabB, nrows, vslab, cslab, init, cap,
+        interpret=env == "interpret")
+    return (emit[:, :L], states[:, :L], final_states[:L], wtotals[:L],
+            ok[:L])

@@ -466,6 +466,13 @@ class TpuGraphDecoder:
         reference's sequential scan + BvGraph reconstruction."""
         from .reconstruct_device import reconstruct_device
 
+        pl = self.plan(num_lanes)
+        if cap is None and not pl.get("tight"):
+            # every P-scale reconstruction stage costs proportionally to
+            # cap * lanes; one observation decode (cached in the plan)
+            # shrinks cap ~1.5-3x vs the a-priori estimate
+            self.tighten_cap(num_lanes)
+            pl["tight"] = True
         out, counts, cap = self.decode_raw(num_lanes, cap)
         # the decode plan doubles as the reconstruction meta cache: after
         # the first call the whole pipeline queues without a host sync

@@ -89,6 +89,29 @@ def _excl(cs):
     return jnp.concatenate([jnp.zeros(1, cs.dtype), cs])
 
 
+def _cumsum(x, axis=-1, BK=1 << 14):
+    """Blocked cumsum along the last axis. XLA lowers large-axis cumsums
+    to a reduce_window with a ~32x-size temp (a [5, 9.6M] stacked cumsum
+    allocated 9.2 GB of HLO temp and OOMed the parse program at
+    untightened caps); chunking into BK-sized blocks plus a cumsum of
+    block totals bounds temps at ~32x BK per block row with identical
+    results. Falls back to plain cumsum when the axis is not divisible
+    (P is always a multiple of 2^14 in practice: cap % 8 == 0 and lanes
+    % 128 == 0, or _quant sizes)."""
+    assert axis in (-1, x.ndim - 1)
+    P = x.shape[-1]
+    if P % BK or P <= BK:
+        return jnp.cumsum(x, axis=-1)
+    shp = x.shape[:-1] + (P // BK, BK)
+    x3 = x.reshape(shp)
+    loc = jnp.cumsum(x3, axis=-1)
+    tot = jnp.cumsum(loc[..., -1], axis=-1)
+    carry = jnp.concatenate(
+        [jnp.zeros(tot.shape[:-1] + (1,), x.dtype), tot[..., :-1]],
+        axis=-1)
+    return (loc + carry[..., None]).reshape(x.shape)
+
+
 def _ffill_valid(ch):
     """Forward-fill the last value with bit0 set (channels pack run values
     as (val<<1)|1; unseeded slots are 0). Last-valid combiner is
@@ -110,7 +133,7 @@ def _bcast_runs(size: int, starts_n, vals_n, mask_n):
     delta = sv - jnp.concatenate([jnp.zeros(1, I32), sv[:-1]])
     arr = jnp.zeros(size, I32).at[st].add(
         jnp.where(st < size, delta, 0), mode="drop")
-    return jnp.cumsum(arr)
+    return _cumsum(arr)
 
 
 def _bcast_runs_multi(size: int, starts_n, vals_list, mask_n):
@@ -126,7 +149,7 @@ def _bcast_runs_multi(size: int, starts_n, vals_list, mask_n):
     arr = jnp.zeros((len(vals_list), size), I32).at[
         :, jnp.where(keep, st, size)].add(
         jnp.where(keep[None, :], delta, 0), mode="drop")
-    return jnp.cumsum(arr, axis=1)
+    return _cumsum(arr, axis=-1)
 
 
 def _depth_order(depth, ncop):
@@ -135,7 +158,7 @@ def _depth_order(depth, ncop):
     node id). All n-scale."""
     n = depth.shape[0]
     _, pi = jax.lax.sort((depth, jnp.arange(n, dtype=I32)), num_keys=2)
-    cb_pi = _excl(jnp.cumsum(ncop[pi]))[:n]
+    cb_pi = _excl(_cumsum(ncop[pi]))[:n]
     cb = jnp.zeros(n, I32).at[pi].set(cb_pi)
     return pi, cb
 
@@ -175,7 +198,7 @@ def parse_stats(out, num_nodes: int, cap: int, min_interval: int):
         jnp.where(is_il, v + min_interval, 0),   # 3: interval elements
         (is_fr | (nib == 8)).astype(I32),        # 4: residual count
     ])
-    cs = jnp.cumsum(ch, axis=1)
+    cs = _cumsum(ch, axis=-1)
     nd = jnp.clip(cs[0] - 1, 0, n - 1)
 
     # Node start positions: position of each node's outdegree token.
@@ -209,7 +232,7 @@ def parse_stats(out, num_nodes: int, cap: int, min_interval: int):
     blk_base_n = cs[1][jnp.minimum(sp + 2, P - 1)]
     base_bcast = _bcast_runs(P, sp, blk_base_n, jnp.ones(n, bool))
     blk_even = is_blk & (((cs[1] - 1 - base_bcast) & 1) == 0)
-    cs_even = _excl(jnp.cumsum(jnp.where(blk_even, b, 0)))
+    cs_even = _excl(_cumsum(jnp.where(blk_even, b, 0)))
     ncop_blocks = cs_even[spx[1:]] - cs_even[spx[:-1]]
 
     parent = jnp.clip(jnp.arange(n, dtype=I32) - ref, 0, n - 1)
@@ -218,7 +241,7 @@ def parse_stats(out, num_nodes: int, cap: int, min_interval: int):
     ncop = ncop_blocks + tail_len
 
     ok = jnp.all(ncop + niv_tot + nres == d)
-    offsets = jnp.concatenate([jnp.zeros(1, I32), jnp.cumsum(d)])
+    offsets = jnp.concatenate([jnp.zeros(1, I32), _cumsum(d)])
 
     # Reference-chain depth: parent depth + 1, resolved as a wavefront
     # (n-scale; depth(parent) == depth(child) - 1 by construction).
@@ -287,14 +310,14 @@ def place(v, nib, sp, offsets, ncop, niv_tot, tail_len, depth,
         jnp.where(is_il, ilen, 0),                            # 5 cum_iv
         is_blk.astype(I32),                                   # 6 blk index
     ])
-    cs = jnp.cumsum(ch, axis=1)
+    cs = _cumsum(ch, axis=-1)
     nd = jnp.clip(cs[0] - 1, 0, n - 1)
 
     # ---- stage 2: per-node resets (channels 1,2,3,4,6) and per-node
     # broadcasts, one stacked scatter + cumsum ----
     _, cb = _depth_order(depth, ncop)
-    ncb = _excl(jnp.cumsum(ncop))[:n]
-    tail_b = _excl(jnp.cumsum(tail_len))[:n]
+    ncb = _excl(_cumsum(ncop))[:n]
+    tail_b = _excl(_cumsum(tail_len))[:n]
     RESET = (1, 2, 3, 4, 6)
     base_n = jnp.where((sp > 0)[None, :],
                        cs[jnp.array(RESET)][:, jnp.maximum(sp - 1, 0)], 0)
@@ -306,7 +329,7 @@ def place(v, nib, sp, offsets, ncop, niv_tot, tail_len, depth,
     ])                                             # [8, n]
     deltas = bvals - jnp.concatenate(
         [jnp.zeros((8, 1), I32), bvals[:, :-1]], axis=1)
-    bb = jnp.cumsum(jnp.zeros((8, P), I32).at[:, sp].add(deltas), axis=1)
+    bb = _cumsum(jnp.zeros((8, P), I32).at[:, sp].add(deltas), axis=-1)
 
     res_val = cs[1] - bb[0] + nd
     rank = cs[2] - bb[1] - 1
@@ -323,7 +346,7 @@ def place(v, nib, sp, offsets, ncop, niv_tot, tail_len, depth,
     blk_idx = cs[6] - bb[4] - 1                    # 0-based within node
     own = is_blk & (blk_idx % 2 == 0) & (b > 0)
     cop_own = jnp.where(own, b, 0)
-    cum_own = jnp.cumsum(cop_own)                  # own elements only
+    cum_own = _cumsum(cop_own)                  # own elements only
     cum_excl_own = cum_own - cop_own
     # node-order element index accounts for tails of earlier nodes;
     # depth-grouped index shifts each node's elements from its
@@ -358,7 +381,7 @@ def expand_intervals(succs, ch_iv, offsets, ncop, niv_tot, total_iv,
     n = ncop.shape[0]
     t = jnp.arange(Ecap, dtype=I32)
     adj_el = _ffill_valid(ch_iv) >> 1
-    node_iv_base = _excl(jnp.cumsum(niv_tot))[:n]
+    node_iv_base = _excl(_cumsum(niv_tot))[:n]
     # dest = offsets[node] + ncop[node] + (t - node_iv_base[node])
     dest_ff = _bcast_runs(Ecap, node_iv_base,
                           offsets[:n] + ncop - node_iv_base, niv_tot > 0)
@@ -402,7 +425,7 @@ def build_seg(offsets, succs):
     bumps = jnp.zeros(Epad, I32).at[
         jnp.where(offsets[1:n + 1] < Epad, offsets[1:n + 1], Epad)
     ].add(1, mode="drop")
-    return jnp.cumsum(bumps)
+    return _cumsum(bumps)
 
 
 @jax.jit
