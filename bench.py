@@ -97,6 +97,19 @@ def main():
         log(f".ans ({tag}) {ab} bytes = {ab * 8 / arcs:.3f} bits/link "
             f"(BVGraph cnr-2000: 2.897)")
 
+    # Phase storage (the reference authors' open problem: .pointers +
+    # .states cost 2.4-3.4x BVGraph's offsets, README.md:176-179).
+    # phase_step=8 keeps every 8th node an entry point (random access
+    # decodes forward from the preceding phase) and shrinks the overhead
+    # below BVGraph's .obl-equivalent.
+    phases_b = (os.path.getsize(out + ".pointers")
+                + os.path.getsize(out + ".states"))
+    store(base, out + "-ps8", phase_step=8)
+    ps8_b = (os.path.getsize(out + "-ps8.pointers")
+             + os.path.getsize(out + "-ps8.states"))
+    log(f"phases: full {phases_b} B, phase_step=8 {ps8_b} B "
+        f"({phases_b / ps8_b:.1f}x smaller sampled)")
+
     adj, _ = load_bvgraph(base)
 
     # Serial CPU baseline (single-state decoder, the reference's design),
@@ -164,6 +177,8 @@ def main():
         "vs_baseline": round(cpu_ns / kern_ns, 3),
         "cpu_ns_per_arc": round(cpu_ns, 2),
         "random_cpu_ns_per_arc": round(cpu_rand_ns, 2),
+        "phases_bytes": phases_b,
+        "phases_step8_bytes": ps8_b,
     }
     if "e2e" in results:
         e2e_ns = results["e2e"]["ns_per_arc"]
