@@ -478,13 +478,15 @@ def nrows_of(params: CodecParams) -> int:
 
 
 def make_init_regs_device(states, rel_ptrs, starts, ends, ring,
-                          window: int):
+                          window: int, pad_to_lanes: int | None = None):
     """Device-side make_init_regs: same layout, built with jnp ops so
     the decode plan never reads device data back to the host (on the
     axon relay ANY device->host fetch permanently degrades dispatch to
     ~27 ms/call; on real TPU serving, host syncs in the plan path are
     simply wasted latency). `ring` may be a device array (seed_rings
-    output); states/rel_ptrs/starts/ends may be host or device."""
+    output); states/rel_ptrs/starts/ends may be host or device.
+    pad_to_lanes (a multiple of 128) pads with finished lanes beyond
+    the default 128-multiple, for chunked kernel invocations."""
     states = jnp.asarray(states)
     rel_ptrs = jnp.asarray(rel_ptrs, jnp.int32)
     # node ids fit i32 (TpuGraphDecoder guards num_nodes < 2^31)
@@ -495,6 +497,9 @@ def make_init_regs_device(states, rel_ptrs, starts, ends, ring,
     L = states.shape[0]
     R = window + 1
     gpad = -(-max(L, 1) // 128) * 128
+    if pad_to_lanes is not None:
+        assert pad_to_lanes % 128 == 0 and pad_to_lanes >= gpad
+        gpad = pad_to_lanes
     A = gpad // 128
     NR = NSREG + R
     regs = jnp.zeros((NR, gpad), jnp.int32)
