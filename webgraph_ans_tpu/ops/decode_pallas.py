@@ -141,9 +141,6 @@ def _ans_step(params: CodecParams, lut, nrows: int, slab_ref,
     fold_off = _per_comp_u32(comp_eq, params, 4, shape)
     radix_mask = (jnp.uint32(1) << radix) - jnp.uint32(1)
 
-    import os
-    probe = os.environ.get("WGT_PLD_PROBE", "")
-
     slot = state & mask
     idx = (offset + slot).astype(jnp.int32)
 
@@ -157,17 +154,10 @@ def _ans_step(params: CodecParams, lut, nrows: int, slab_ref,
     fcs, sfs = [], []
     locs_t = [[] for _ in range(mf + 1)]
     for a in range(A):
-        if "nolut" in probe:
-            row = jnp.concatenate([idx[a:a + 1, :]] * 2, axis=1)
-        else:
-            row = lut_gather(lut, idx[a:a + 1, :], nrows)   # [1, 256]
+        row = lut_gather(lut, idx[a:a + 1, :], nrows)   # [1, 256]
         fcs.append(row[:, 0:128])
         sfs.append(row[:, 128:256])
         plo = pair_lo[a:a + 1, :]
-        if "noloc" in probe:
-            for j in range(mf + 1):
-                locs_t[j].append(plo + j)
-            continue
         g0 = jnp.minimum(plo >> 3, ngrp - 1)
         tile = slab_ref[:, a * 128:(a + 1) * 128]
         grps = [tree_select_rows8(tile, jnp.minimum(g0 + k, ngrp - 1),
@@ -198,8 +188,6 @@ def _ans_step(params: CodecParams, lut, nrows: int, slab_ref,
     prefix = (sym - fold_off * folds) << sh.astype(jnp.uint32)
 
     def refill(s, p, a):
-        if "norefill" in probe:
-            return s, p
         need = a & (s < LOWER_BOUND)
         new_p = p - need.astype(p.dtype)
         if len(locs) == 1:
@@ -217,7 +205,7 @@ def _ans_step(params: CodecParams, lut, nrows: int, slab_ref,
 
     fold = jnp.zeros_like(state)
     folds_left = jnp.where(active, folds, 0)
-    for _ in range(0 if "nounfold" in probe else mf):
+    for _ in range(mf):
         a = folds_left > 0
         new_state, new_ptr = refill(new_state, new_ptr, a)
         fold = jnp.where(a, (fold << radix) | (new_state & radix_mask),
@@ -248,14 +236,6 @@ def _fsm_step(params: CodecParams, lut, nrows: int, slab_ref, regs,
     vu = jnp.where(active, v_u, jnp.uint32(0))
     nib = jnp.where(active, p.astype(jnp.uint32), jnp.uint32(0xF))
     v = jax.lax.bitcast_convert_type(v_u, i32)
-
-    import os
-    if "nogram" in os.environ.get("WGT_PLD_PROBE", ""):
-        out = dict(regs)
-        out.update(state=state, ptr=ptr,
-                   outn=regs["outn"] + active.astype(i32),
-                   phase=jnp.where(ptr <= 0, P_DONE, p))
-        return out, vu, nib
 
     xmod = regs["xmod"]
     d, bc = regs["d"], regs["bc"]
@@ -498,7 +478,9 @@ def make_init_regs_device(states, rel_ptrs, starts, ends, ring,
     R = window + 1
     gpad = -(-max(L, 1) // 128) * 128
     if pad_to_lanes is not None:
-        assert pad_to_lanes % 128 == 0 and pad_to_lanes >= gpad
+        if pad_to_lanes % 128 or pad_to_lanes < gpad:
+            raise ValueError(
+                f"pad_to_lanes must be a multiple of 128 >= {gpad}")
         gpad = pad_to_lanes
     A = gpad // 128
     NR = NSREG + R

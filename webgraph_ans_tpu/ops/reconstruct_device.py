@@ -95,13 +95,18 @@ def _cumsum(x, axis=-1, BK=1 << 14):
     allocated 9.2 GB of HLO temp and OOMed the parse program at
     untightened caps); chunking into BK-sized blocks plus a cumsum of
     block totals bounds temps at ~32x BK per block row with identical
-    results. Falls back to plain cumsum when the axis is not divisible
-    (P is always a multiple of 2^14 in practice: cap % 8 == 0 and lanes
-    % 128 == 0, or _quant sizes)."""
+    results. Non-divisible axes are zero-padded up to the next BK
+    multiple and sliced back (padding is elementwise-scale), so no input
+    shape can silently fall through to the unbounded-temp lowering."""
     assert axis in (-1, x.ndim - 1)
     P = x.shape[-1]
-    if P % BK or P <= BK:
+    if P <= BK:
         return jnp.cumsum(x, axis=-1)
+    if P % BK:
+        pad = BK - P % BK
+        xp = jnp.concatenate(
+            [x, jnp.zeros(x.shape[:-1] + (pad,), x.dtype)], axis=-1)
+        return _cumsum(xp, axis=-1, BK=BK)[..., :P]
     shp = x.shape[:-1] + (P // BK, BK)
     x3 = x.reshape(shp)
     loc = jnp.cumsum(x3, axis=-1)
