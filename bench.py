@@ -104,11 +104,22 @@ def main():
     # below BVGraph's .obl-equivalent.
     phases_b = (os.path.getsize(out + ".pointers")
                 + os.path.getsize(out + ".states"))
-    store(base, out + "-ps8", phase_step=8)
-    ps8_b = (os.path.getsize(out + "-ps8.pointers")
-             + os.path.getsize(out + "-ps8.states"))
-    log(f"phases: full {phases_b} B, phase_step=8 {ps8_b} B "
-        f"({phases_b / ps8_b:.1f}x smaller sampled)")
+    ps8_b = 0
+    try:
+        # a secondary metric must not be able to abort the primary one
+        from webgraph_ans_tpu.ans.prelude import save_pointers, save_states
+        n = res_blk.prelude.num_nodes
+        keep = (n - 1 - np.arange(0, n, 8))[::-1]
+        save_states(out + "-ps8", np.ascontiguousarray(
+            res_blk.states[keep]))
+        save_pointers(out + "-ps8", np.ascontiguousarray(
+            res_blk.pointers[keep]))
+        ps8_b = (os.path.getsize(out + "-ps8.pointers")
+                 + os.path.getsize(out + "-ps8.states"))
+        log(f"phases: full {phases_b} B, phase_step=8 {ps8_b} B "
+            f"({phases_b / max(ps8_b, 1):.1f}x smaller sampled)")
+    except Exception as e:  # noqa: BLE001
+        log(f"phase-size measurement failed: {e!r}")
 
     adj, _ = load_bvgraph(base)
 
@@ -130,12 +141,13 @@ def main():
     dec_tpu = TpuGraphDecoder(g)
     t0 = time.time()
     cap = dec_tpu.tighten_cap(L)
+    cap_aux = dec_tpu.tighten_cap(L, emit_aux=True)
     offsets_d, succs_d, E = dec_tpu.decode_to_csr_device(num_lanes=L)
     jax.block_until_ready(succs_d)
     assert np.array_equal(np.asarray(succs_d[:E]).astype(np.uint32),
                           adj.succs), "TPU decode not bit-exact"
     log(f"bit-exact: True (warmup+verify {time.time() - t0:.2f}s, "
-        f"tight cap {cap})")
+        f"tight cap {cap}, aux cap {cap_aux})")
     meta = dec_tpu.plan(L)["recon_meta"]["meta"]
 
     est_path = os.path.join(tmp, "est_tables.pkl")
@@ -158,6 +170,7 @@ def main():
     # Device metrics, one fresh process each.
     blk = out + "-blk"
     env = {"WGT_BENCH_CAP": str(cap),
+           "WGT_BENCH_CAP_AUX": str(cap_aux),
            "WGT_BENCH_META": json.dumps([int(x) for x in meta]),
            "WGT_BENCH_SRC": base, "WGT_BENCH_EST": est_path}
     results = {}
@@ -168,6 +181,19 @@ def main():
             results[mode] = r
             log(f"TPU {mode}: {r['sec_per_rep']*1e3:.1f} ms/rep = "
                 f"{r['ns_per_arc']:.2f} ns/arc")
+
+    # ---- second fixture: synthetic ~58M-arc web-like graph (VERDICT
+    # r02 item 3: every earlier claim was single-fixture, and the Pallas
+    # kernel's VMEM slab ceiling only bites past ~cnr scale). The
+    # artifact is cached in /tmp across runs; first build costs ~6 min
+    # (generate + 3-pass compress + verify). Chunked-slab decode: the
+    # stream (~18 MB) exceeds the 4 MB per-chunk VMEM budget, so this
+    # exercises the HBM->VMEM chunk pipeline for real.
+    synth = {}
+    try:
+        synth = bench_synth(run_device_bench)
+    except Exception as e:  # noqa: BLE001 - secondary fixture must not
+        log(f"synth fixture FAILED: {e!r}")  # kill the primary metric
 
     kern_ns = results["pallas"]["ns_per_arc"]
     payload = {
@@ -193,7 +219,96 @@ def main():
     if "xla" in results:
         payload["xla_kernel_ns_per_arc"] = round(
             results["xla"]["ns_per_arc"], 2)
+    payload.update(synth)
     print(json.dumps(payload))
+
+
+def bench_synth(run_device_bench):
+    """Builds (or reuses) the cached synthetic fixture, verifies the
+    chunked TPU decode bit-exact, and measures kernel + e2e + serial CPU
+    on it. Returns payload keys prefixed synth_*."""
+    import jax
+    import numpy as np
+
+    from webgraph_ans_tpu.ans.prelude import save_pointers, save_states
+    from webgraph_ans_tpu.bvgraph.random_access import ANSBvGraph
+    from webgraph_ans_tpu.bvgraph.sequential import ANSBvGraphSeq
+    from webgraph_ans_tpu.bvgraph.store import compress_adjacency
+    from webgraph_ans_tpu.bvgraph.synth import synth_web_graph
+    from webgraph_ans_tpu.ops.graph_decode import TpuGraphDecoder
+
+    N = int(os.environ.get("WGT_BENCH_SYNTH_NODES", "4000000"))
+    SEED = 7
+    L = int(os.environ.get("WGT_BENCH_SYNTH_LANES", "8192"))
+    cache = f"/tmp/wgt_fixture_synth_v1_{N}_{SEED}"
+    base = os.path.join(cache, "synth")
+    if not os.path.exists(base + ".ans"):
+        os.makedirs(cache, exist_ok=True)
+        t0 = time.time()
+        adj = synth_web_graph(N, seed=SEED)
+        log(f"synth gen: {adj.num_nodes} nodes / {adj.num_arcs} arcs "
+            f"in {time.time() - t0:.1f}s")
+        t0 = time.time()
+        res = compress_adjacency(adj)
+        res.prelude.save(base)
+        save_states(base, res.states)
+        save_pointers(base, res.pointers)
+        np.save(os.path.join(cache, "succs.npy"), adj.succs)
+        log(f"synth compress: {time.time() - t0:.1f}s, "
+            f"{os.path.getsize(base + '.ans') * 8 / adj.num_arcs:.3f} "
+            "bits/link")
+    succs_ref = np.load(os.path.join(cache, "succs.npy"), mmap_mode="r")
+
+    g = ANSBvGraph.load(base)
+    arcs = g.num_arcs
+    out = {"synth_nodes": g.num_nodes, "synth_arcs": int(arcs),
+           "synth_bits_per_link":
+               round(os.path.getsize(base + ".ans") * 8 / arcs, 3)}
+
+    # serial CPU baseline (same artifact)
+    seq = ANSBvGraphSeq(g.prelude)
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        dec_cpu = seq.decode_all()
+        times.append(time.time() - t0)
+    assert np.array_equal(dec_cpu.succs, succs_ref)
+    cpu_ns = float(np.median(times)) / arcs * 1e9
+    out["synth_cpu_ns_per_arc"] = round(cpu_ns, 2)
+    log(f"synth serial CPU decode: {np.median(times):.3f}s = "
+        f"{cpu_ns:.2f} ns/arc")
+
+    dec = TpuGraphDecoder(g)
+    pp = dec._pallas_plan(L)
+    nch = int(pp["slab"].shape[0]) if pp else 0
+    out["synth_pallas_chunks"] = nch
+    t0 = time.time()
+    cap = dec.tighten_cap(L)
+    cap_aux = dec.tighten_cap(L, emit_aux=True)
+    offs_d, succs_d, E = dec.decode_to_csr_device(num_lanes=L)
+    jax.block_until_ready(succs_d)
+    assert np.array_equal(np.asarray(succs_d[:E]).astype(np.uint32),
+                          succs_ref), "synth TPU decode not bit-exact"
+    log(f"synth bit-exact: True (warmup+verify {time.time() - t0:.1f}s, "
+        f"caps {cap}/{cap_aux}, {nch} slab chunks)")
+    meta = dec.plan(L)["recon_meta"]["meta"]
+
+    env = {"WGT_BENCH_CAP": str(cap), "WGT_BENCH_CAP_AUX": str(cap_aux),
+           "WGT_BENCH_META": json.dumps([int(x) for x in meta])}
+    for mode, key in (("pallas", "synth_pallas_ns_per_arc"),
+                      ("e2e", "synth_e2e_ns_per_arc")):
+        r = run_device_bench(base, mode, 5, L, env)
+        if r is not None:
+            out[key] = round(r["ns_per_arc"], 2)
+            log(f"synth TPU {mode}: {r['sec_per_rep']*1e3:.1f} ms/rep = "
+                f"{r['ns_per_arc']:.2f} ns/arc")
+    if "synth_pallas_ns_per_arc" in out:
+        out["synth_vs_baseline"] = round(
+            cpu_ns / out["synth_pallas_ns_per_arc"], 3)
+    if "synth_e2e_ns_per_arc" in out:
+        out["synth_e2e_vs_baseline"] = round(
+            cpu_ns / out["synth_e2e_ns_per_arc"], 3)
+    return out
 
 
 if __name__ == "__main__":

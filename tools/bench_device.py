@@ -66,18 +66,17 @@ def main():
         from webgraph_ans_tpu.ops.reconstruct_device import (
             _quant, parse_and_assemble)
         meta = np.array(json.loads(os.environ["WGT_BENCH_META"]), np.int32)
-        total_iv, total_cop, max_depth = (int(meta[1]), int(meta[2]),
-                                          int(meta[3]))
+        total_cop, max_depth = int(meta[2]), int(meta[3])
         hist_key = (tuple(int(c) for c in meta[4:4 + max_depth + 1][1:])
                     if total_cop and max_depth > 0 else ())
         n, E = g.num_nodes, int(g.num_arcs)
         mi = g.prelude.min_interval_length
+        cap = int(os.environ.get("WGT_BENCH_CAP_AUX", cap))
 
         def run():
-            out, _, _ = dec.decode_raw(L, cap, check=False)
+            out, _, _ = dec.decode_raw(L, cap, check=False, emit_aux=True)
             offsets, F, meta_d = parse_and_assemble(
-                out, n, cap, mi, _quant(E + 1),
-                _quant(total_iv) if total_iv else 0, _quant(total_cop),
+                out, n, cap, mi, _quant(E + 1), _quant(total_cop),
                 hist_key)
             return offsets[:1]
     elif mode == "serve":

@@ -1,12 +1,11 @@
-"""Marginal in-program cost of each reconstruction stage: build ONE jit per
-prefix of the pipeline and difference the timings. Dispatch overhead
-(~30ms/launch through the relay) cancels in the differences, which the
-per-stage probes cannot do."""
+"""Marginal in-program cost of each v2 reconstruction stage: build ONE
+jit per prefix of the pipeline and difference the timings. Dispatch
+overhead (~30ms/launch through the relay) cancels in the differences,
+which per-stage probes cannot do."""
 
 import os
 import sys
 import time
-import functools
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -34,80 +33,66 @@ def main():
     from webgraph_ans_tpu.bvgraph.random_access import ANSBvGraph
     from webgraph_ans_tpu.ops.graph_decode import TpuGraphDecoder
     from webgraph_ans_tpu.ops import reconstruct_device as R
+    from webgraph_ans_tpu.ops.reconstruct_device import (
+        I32, _bcast_runs_multi, _cumsum, _depth_order, _ffill_valid,
+        _quant, _unpack4, fill_slice, sort_segments)
 
-    base = sys.argv[1] if len(sys.argv) > 1 else "/tmp/verify_cnr"
+    base = sys.argv[1] if len(sys.argv) > 1 else "/tmp/wgt_r3/cnr-2000-blk"
     g = ANSBvGraph.load(base)
     dec = TpuGraphDecoder(g)
     L = int(os.environ.get("WGT_BENCH_LANES", "2048"))
-    cap = dec.tighten_cap(L)
+    cap = dec.tighten_cap(L, emit_aux=True)
     n, E = dec.num_nodes, int(dec.num_arcs)
-    out, counts, _ = dec.decode_raw(L, cap)
+    mi = dec.min_interval
+    out, counts, _ = dec.decode_raw(L, cap, emit_aux=True)
     jax.block_until_ready(out)
 
-    st = R.parse_stats(out, n, cap, dec.min_interval)
+    st = R.parse_stats(out, n, cap)
     meta = np.asarray(st["meta"])
-    total_iv, total_cop, max_depth = int(meta[1]), int(meta[2]), int(meta[3])
+    total_cop, max_depth = int(meta[2]), int(meta[3])
     hist_key = tuple(int(c) for c in meta[5:4 + max_depth + 1])
-    Epad, Ecap, Ccap = R._quant(E + 1), R._quant(total_iv), R._quant(total_cop)
-    mi = dec.min_interval
-    print(f"P={cap*L} n={n} E={E} Epad={Epad} Ecap={Ecap} Ccap={Ccap} "
+    Epad, Ccap = _quant(E + 1), _quant(total_cop)
+    print(f"P={cap*L} n={n} E={E} Epad={Epad} Ccap={Ccap} "
           f"hist={hist_key}", flush=True)
 
     def stage(upto):
-        @functools.partial(jax.jit, static_argnames=())
+        @jax.jit
         def f(out):
-            s = R.parse_stats(out, n, cap, mi)
+            v, a1, a2, nib = _unpack4(out, cap)
+            if upto == "unpack":
+                return v[::4096], a2[::4096], nib[::4096]
+            P = v.shape[0]
+            pos = jnp.arange(P, dtype=I32)
+            is_out = nib == 0
+            is_sum9 = nib == 9
+            nd = jnp.clip(_cumsum(is_out.astype(I32)) - 1, 0, n - 1)
+            if upto == "ndcumsum":
+                return nd[::4096]
+            idx = jnp.where(is_out, nd,
+                            jnp.where(is_sum9, n + nd, 2 * n))
+            spp = jnp.full((2 * n + 1,), P - 1, I32).at[idx].set(
+                pos, mode="drop")
+            if upto == "spscatter":
+                return spp[::64]
+            st2 = R.parse_stats(out, n, cap)
             if upto == "parse":
-                return s["meta"]
-            buf = R.place(
-                s["v"], s["nib"], s["sp"], s["offsets"], s["ncop"],
-                s["niv_tot"], s["tail_len"], s["depth"], Epad, Ecap, Ccap, mi)
-            if upto == "place":
-                return buf[::1024], s["meta"]
-            succs = buf[:Epad]
-            succs = R.expand_intervals(
-                succs, buf[Epad:Epad + Ecap], s["offsets"],
-                s["ncop"], s["niv_tot"], s["meta"][1], Epad, Ecap)
-            if upto == "expand":
-                return succs[::1024], s["meta"]
-            seg = R.build_seg(s["offsets"], succs)
-            F = R.sort_segments(seg, succs)
-            if upto == "sort0":
-                return F[::1024], s["meta"]
-            slot_s, src_s = R.copy_fields(
-                buf[Epad + Ecap:], s["offsets"], s["ncop"],
-                s["tail_len"], s["blocks_sum"], s["parent"], s["depth"],
-                s["meta"][2], Ccap, Epad)
-            if upto == "plan":
-                return slot_s[::1024], src_s[::1024], F[::1024], s["meta"]
-            slot_p = jnp.concatenate([slot_s, jnp.full(Ccap, Epad, jnp.int32)])
-            src_p = jnp.concatenate([src_s, jnp.zeros(Ccap, jnp.int32)])
-            off = 0
-            k = 0
-            for cnt in hist_key:
-                if cnt == 0:
-                    continue
-                M = R._quant(cnt)
-                succs = R.fill_slice(succs, F, slot_p[off:off + M],
-                                     src_p[off:off + M], jnp.int32(cnt))
-                k += 1
-                if upto == f"fill{k}":
-                    return succs[::1024], s["meta"]
-                F = R.sort_segments(seg, succs)
-                if upto == f"sort{k}":
-                    return F[::1024], s["meta"]
-                off += cnt
-            return F[::1024], s["meta"]
+                return st2["meta"]
+            off, F, succs, seg = R.assemble(
+                st2["v"], st2["a1"], st2["a2"], st2["nib"], st2["sp"],
+                st2["d"], st2["offsets"], st2["ncop"], st2["niv"],
+                st2["tail"], st2["parent"], st2["depth"], st2["meta"][2],
+                Epad, Ccap, mi, hist_key if upto == "full" else ())
+            if upto == "noround":
+                return off[:1], F[::4096]
+            return off[:1], F[::4096]
 
         return f
 
-    names = ["parse", "place", "expand", "sort0", "plan"]
-    for k in range(1, len(hist_key) + 1):
-        names += [f"fill{k}", f"sort{k}"]
     prev = 0.0
-    for nm in names:
+    for nm in ("unpack", "ndcumsum", "spscatter", "parse", "noround",
+               "full"):
         ms = bench(stage(nm), out)
-        print(f"{nm:8s} cumulative {ms:7.1f}ms   marginal {ms - prev:+7.1f}ms",
+        print(f"{nm:9s} cumulative {ms:7.1f}ms   marginal {ms - prev:+7.1f}ms",
               flush=True)
         prev = ms
 

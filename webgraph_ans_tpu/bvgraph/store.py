@@ -229,7 +229,9 @@ def store(basename: str, new_basename: str, compression_window: int = 7,
           use_tpu_model_search: bool = False,
           max_frame_log2: int = 12,
           encode_blocks: int = 1,
-          phase_step: int = 1) -> CompressionResult:
+          phase_step: int = 1,
+          spill_path: str | None = None,
+          spill_chunk_tokens: int = 1 << 22) -> CompressionResult:
     """Recompresses the BVGraph at `basename` into `new_basename.{ans,pointers,states}`
     (reference: ANSBvGraph::store, random_access.rs:91-222).
 
@@ -238,13 +240,24 @@ def store(basename: str, new_basename: str, compression_window: int = 7,
     at the cost of decoding up to k-1 extra lists per random-access
     query (the storage/speed dial BVGraph's own offset steps use; the
     reference stores every node's phase and its authors flag the 2.4-3.4x
-    phase overhead as an open problem, reference README.md:176-179)."""
+    phase overhead as an open problem, reference README.md:176-179).
+
+    spill_path runs pass 3 out-of-core: the token buffer spills to disk
+    in varint chunks and pass-3 RAM stays O(spill_chunk_tokens), the
+    reference's default RevBuffer behavior (src/bvgraph/writers/
+    bvgraph_encoder.rs:159-174, src/utils/rev.rs). Bit-identical output;
+    serial encode only (encode_blocks must be 1)."""
+    if spill_path is not None and encode_blocks > 1:
+        raise ValueError("spill_path requires the serial encoder "
+                         "(encode_blocks=1)")
     adj, _props = load_bvgraph(basename)
     result = compress_adjacency(
         adj, compression_window, max_ref_count, min_interval_length,
         use_tpu_model_search=use_tpu_model_search,
         max_frame_log2=max_frame_log2,
         encode_blocks=encode_blocks,
+        spill_path=spill_path,
+        spill_chunk_tokens=spill_chunk_tokens,
     )
     prelude, states, pointers = result.prelude, result.states, result.pointers
     if phase_step > 1:

@@ -36,6 +36,12 @@ def _add_compress_args(p):
                    help="store phases for every k-th node only: .states/"
                         ".pointers shrink ~k x, random access decodes up "
                         "to k-1 extra lists per query")
+    p.add_argument("--spill-path", default=None,
+                   help="run pass 3 out-of-core: spill the token buffer "
+                        "to this file in varint chunks (RAM stays "
+                        "O(--spill-chunk-tokens); serial encoder only)")
+    p.add_argument("--spill-chunk-tokens", type=int, default=1 << 22,
+                   help="tokens per in-RAM spill chunk (default 4M)")
 
 
 def main(argv=None):
@@ -74,7 +80,9 @@ def main(argv=None):
                     use_tpu_model_search=args.tpu_model_search,
                     max_frame_log2=args.max_frame_log2,
                     encode_blocks=args.encode_blocks,
-                    phase_step=args.phase_step)
+                    phase_step=args.phase_step,
+                    spill_path=args.spill_path,
+                    spill_chunk_tokens=args.spill_chunk_tokens)
         print(json.dumps({
             "seconds": round(time.time() - t0, 3),
             "nodes": res.prelude.num_nodes,

@@ -64,6 +64,10 @@ LOWER_BOUND = np.uint32(1 << 16)
 # Component ids double as FSM phase ids (reference: src/bvgraph/mod.rs:13-23).
 P_OUT, P_REF, P_BC, P_BLK, P_IC, P_IS, P_IL, P_FR, P_RES = range(9)
 P_DONE = 9
+# aux mode only: one summary pseudo-step per node (nibble 0x9) after its
+# last token, carrying (ncop, niv, tail_len) for the device reconstructor.
+P_SUM = 10
+NIB_SUM = 9
 
 # Component nibbles are packed 8 per u32 output word.
 UNROLL = 8
@@ -398,12 +402,13 @@ def decode_token_plan(params: CodecParams, tables: DecoderTables,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("params", "window", "min_interval", "cap")
+    jax.jit, static_argnames=("params", "window", "min_interval", "cap",
+                              "emit_aux")
 )
 def decode_blocks(params: CodecParams, tables: DecoderTables,
                   states, ptrs, starts, ends, ring_seed,
                   window: int, min_interval: int, cap: int,
-                  base_rows=None):
+                  base_rows=None, emit_aux: bool = False):
     """Grammar-FSM token decode of independent node ranges (blocks).
 
     Lane l decodes every (component, value) token of nodes
@@ -433,7 +438,18 @@ def decode_blocks(params: CodecParams, tables: DecoderTables,
     64-bit streams: pass `ptrs` LANE-RELATIVE plus `base_rows` [L] i32
     per-lane stream-row bases (absolute word = base_rows*WORDS_PER_ROW +
     ptr); see fetch_window. With base_rows=None pointers are absolute
-    (streams < 2^31 words)."""
+    (streams < 2^31 words).
+
+    emit_aux=True is the device-reconstruction mode: the output grows to
+    [3*cap + cap//8, L] (rows cap..2cap = aux1, 2cap..3cap = aux2), and
+    each node is followed by ONE summary pseudo-step (nibble 0x9, not
+    counted in `counts`): value = ncop (copied elements), aux1 = niv
+    (interval elements), aux2 = tail_len. Per-token aux carries
+    pre-resolved reconstruction fields (absolute residual successors,
+    absolute interval left extremes, run-local element bases) so the
+    device reconstructor needs no per-token cumsum re-derivation — see
+    ops/reconstruct_device.py. cap must then cover tokens + nodes per
+    lane."""
     rows_back = _rows_back(params[10])
     K = _chunk_steps(params[10])
     assert cap % _cap_quantum(params[10]) == 0, (
@@ -446,9 +462,13 @@ def decode_blocks(params: CodecParams, tables: DecoderTables,
     R_PBASE = NREG + R          # window base pair index
     WIN0 = NREG + R + 1         # resident stream window rows
     R_BROW = WIN0 + WPAIRS      # per-lane stream-row base (64-bit streams)
+    # aux-mode registers: running residual value, interval element count,
+    # interval left/end tracker, first-interval flag, tail length
+    R_PREVRES, R_IVSUM, R_IVL, R_FIV, R_TAIL = (
+        R_BROW + 1, R_BROW + 2, R_BROW + 3, R_BROW + 4, R_BROW + 5)
     i32 = jnp.int32
 
-    regs = jnp.zeros((NREG + R + 1 + WPAIRS + 1, L), i32)
+    regs = jnp.zeros((R_BROW + 1 + (5 if emit_aux else 0), L), i32)
     regs = regs.at[R_STATE].set(
         jax.lax.bitcast_convert_type(states.astype(jnp.uint32), i32))
     regs = regs.at[R_PTR].set(ptrs.astype(i32))
@@ -459,9 +479,10 @@ def decode_blocks(params: CodecParams, tables: DecoderTables,
         jnp.where(starts < ends, P_OUT, P_DONE).astype(i32))
     regs = regs.at[NREG:NREG + R].set(ring_seed.astype(i32).T)
     ends = ends.astype(i32)
-    out = jnp.zeros((cap + cap // UNROLL, L), jnp.uint32)
+    VROWS = 3 * cap if emit_aux else cap
+    out = jnp.zeros((VROWS + cap // UNROLL, L), jnp.uint32)
     # untouched packed-component rows must read as 0xF nibbles
-    out = out.at[cap:, :].set(jnp.uint32(0xFFFFFFFF))
+    out = out.at[VROWS:, :].set(jnp.uint32(0xFFFFFFFF))
 
     ring_rows = jnp.arange(R)[:, None]  # [R, 1] for one-hot ring ops
 
@@ -471,19 +492,28 @@ def decode_blocks(params: CodecParams, tables: DecoderTables,
 
     def one_step(regs, cpk):
         """One FSM token step on the packed register file; returns
-        (new regs, value u32, nibble: phase, or 0xF on finished lanes)."""
+        (new regs, value u32, aux1 u32, aux2 u32, nibble: phase, 0x9 on
+        summary steps, or 0xF on finished lanes)."""
         p = regs[R_PHASE]
         ptr0 = regs[R_PTR]
         active = p != P_DONE
+        is_sum = active & (p == P_SUM)
+        dec_active = active & ~is_sum
+        res_rem_pre = regs[R_RESREM]
+        blocks_sum_pre = regs[R_BSUM]
+        copied_pre = regs[R_COPIED]
+        cpy_pre = regs[R_CPY]
         state = jax.lax.bitcast_convert_type(regs[R_STATE], jnp.uint32)
         win = jax.lax.bitcast_convert_type(regs[WIN0:WIN0 + WPAIRS],
                                            jnp.uint32)
         pbase = regs[R_PBASE]
         v, state, ptr = ans_decode_step(
-            params, tables, state, ptr0, jnp.minimum(p, P_RES), active,
+            params, tables, state, ptr0, jnp.minimum(p, P_RES), dec_active,
             win, pbase)
-        vu = jnp.where(active, v, 0)
-        nib = jnp.where(active, p.astype(jnp.uint32), jnp.uint32(0xF))
+        vu = jnp.where(dec_active, v, 0)
+        nib = jnp.where(dec_active, jnp.minimum(p, P_RES).astype(jnp.uint32),
+                        jnp.where(is_sum, jnp.uint32(NIB_SUM),
+                                  jnp.uint32(0xF)))
         v = jax.lax.bitcast_convert_type(v, i32)
 
         x = regs[R_X]
@@ -539,6 +569,43 @@ def decode_blocks(params: CodecParams, tables: DecoderTables,
         is_res = active & (p == P_RES)
         res_rem = jnp.where(is_fr | is_res, res_rem - 1, res_rem)
 
+        if emit_aux:
+            # Per-token reconstruction fields (see docstring). All i32;
+            # node ids < 2^31 and degrees < 2^30 keep them in range.
+            is_is = active & (p == P_IS)
+            prevres0 = regs[R_PREVRES]
+            ivsum0 = jnp.where(is_out, 0, regs[R_IVSUM])
+            ivl0 = regs[R_IVL]
+            fiv0 = regs[R_FIV]
+            n2i = (v >> 1) ^ -(v & 1)          # nat2int
+            resval = jnp.where(is_fr, x + n2i, prevres0 + v + 1)
+            prevres = jnp.where(is_fr | is_res, resval, prevres0)
+            left = jnp.where(fiv0 != 0, x + n2i, ivl0 + 1 + v)
+            ilen = v + min_interval
+            ivl = jnp.where(is_is, left,
+                            jnp.where(is_il, ivl0 + ilen, ivl0))
+            fiv = jnp.where(is_ic, 1, jnp.where(is_is, 0, fiv0))
+            ivsum = jnp.where(is_il, ivsum0 + ilen, ivsum0)
+            tail = jnp.where(is_out, 0, regs[R_TAIL])
+            tail = jnp.where(is_bc & (v == 0), ref_outdeg, tail)
+            tail = jnp.where(
+                blocks_done,
+                jnp.where(bc % 2 == 0, ref_outdeg - blocks_sum, 0), tail)
+            aux1 = jnp.where(is_blk, blocks_sum_pre, 0)
+            aux2 = jnp.where(is_blk, (copied_pre << 1) | cpy_pre, 0)
+            aux1 = jnp.where(is_is | is_il, jnp.where(is_is, left, ivl0),
+                             aux1)
+            aux2 = jnp.where(is_is | is_il, copied + ivsum0, aux2)
+            aux1 = jnp.where(is_fr | is_res, resval, aux1)
+            aux2 = jnp.where(is_fr | is_res, d - res_rem_pre, aux2)
+            aux1 = jnp.where(is_sum, ivsum0, aux1)
+            aux2 = jnp.where(is_sum, tail, aux2)
+            vu = jnp.where(is_sum,
+                           jax.lax.bitcast_convert_type(copied, jnp.uint32),
+                           vu)
+        else:
+            aux1 = aux2 = None
+
         # --- next-phase selection ---
         P_DONE_NODE = -1  # sentinel: node finished
 
@@ -582,20 +649,31 @@ def decode_blocks(params: CodecParams, tables: DecoderTables,
 
         node_done = nxt == P_DONE_NODE
         x = jnp.where(node_done, x + 1, x)
-        nxt = jnp.where(node_done, jnp.where(x >= ends, P_DONE, P_OUT), nxt)
+        if emit_aux:
+            # node end -> one summary pseudo-step, then the next node
+            nxt = jnp.where(node_done, P_SUM, nxt)
+            nxt = jnp.where(is_sum, jnp.where(x >= ends, P_DONE, P_OUT),
+                            nxt)
+        else:
+            nxt = jnp.where(node_done,
+                            jnp.where(x >= ends, P_DONE, P_OUT), nxt)
         phase = jnp.where(nxt == -2, p, nxt)
 
-        new_regs = jnp.concatenate([
+        parts = [
             jnp.stack([
                 jax.lax.bitcast_convert_type(state, i32), ptr, x, phase, d,
                 bc, blocks_rem, blk_idx, blocks_sum, copy_flag.astype(i32),
                 copied, ref_outdeg, extra, iv_rem, res_rem,
-                regs[R_OUTN] + active.astype(i32), cpk,
+                regs[R_OUTN] + dec_active.astype(i32), cpk,
             ], axis=0),
             ring,
-            regs[NREG + R:],  # pbase + resident window pass through
-        ], axis=0)
-        return new_regs, vu, nib
+            regs[NREG + R:R_BROW + 1],  # pbase + window + brow pass through
+        ]
+        if emit_aux:
+            parts.append(jnp.stack([prevres, ivsum, ivl, fiv, tail],
+                                   axis=0))
+        new_regs = jnp.concatenate(parts, axis=0)
+        return new_regs, vu, aux1, aux2, nib
 
     def inner(_, carry):
         step, regs, out = carry
@@ -603,7 +681,7 @@ def decode_blocks(params: CodecParams, tables: DecoderTables,
         cpk_prev = jax.lax.bitcast_convert_type(regs[R_CPK], jnp.uint32)
         # fresh words start all-0xF so unexecuted tail nibbles read invalid
         cpk_prev = jnp.where(sub == 0, jnp.uint32(0xFFFFFFFF), cpk_prev)
-        regs, vu, nib = one_step(
+        regs, vu, aux1, aux2, nib = one_step(
             regs, jnp.zeros((L,), i32))  # cpk reg rewritten below
         shift = (4 * sub).astype(jnp.uint32)
         cpk = ((cpk_prev & ~(jnp.uint32(0xF) << shift))
@@ -611,7 +689,12 @@ def decode_blocks(params: CodecParams, tables: DecoderTables,
         regs = regs.at[R_CPK].set(jax.lax.bitcast_convert_type(cpk, i32))
         if "noout" not in os.environ.get("WGT_DECODE_PROBE", ""):
             out = out.at[step, :].set(vu)
-            out = out.at[cap + step // UNROLL, :].set(cpk)
+            if emit_aux:
+                out = out.at[cap + step, :].set(
+                    jax.lax.bitcast_convert_type(aux1, jnp.uint32))
+                out = out.at[2 * cap + step, :].set(
+                    jax.lax.bitcast_convert_type(aux2, jnp.uint32))
+            out = out.at[VROWS + step // UNROLL, :].set(cpk)
         return step + 1, regs, out
 
     def body(carry):

@@ -39,9 +39,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .decode_jax import (B, LOWER_BOUND, NREG, P_BC, P_BLK, P_DONE, P_FR,
-                         P_IC, P_IL, P_IS, P_OUT, P_REF, P_RES, UNROLL,
-                         CodecParams, DecoderTables)
+from .decode_jax import (B, LOWER_BOUND, NIB_SUM, NREG, P_BC, P_BLK, P_DONE,
+                         P_FR, P_IC, P_IL, P_IS, P_OUT, P_REF, P_RES, P_SUM,
+                         UNROLL, CodecParams, DecoderTables)
 from .pallas_prims import gather8, lut_gather, select_tree, tree_select_rows8
 
 # Scratch register rows (segment-relative pointer domain; no window
@@ -50,6 +50,12 @@ from .pallas_prims import gather8, lut_gather, select_tree, tree_select_rows8
  S_CPY, S_COPIED, S_REFD, S_EXTRA, S_IVREM, S_RESREM, S_OUTN,
  S_XMOD) = range(17)
 NSREG = 17
+# aux-mode registers, appended AFTER the outdegree ring (rows
+# NSREG+R .. NSREG+R+6): absolute node id, running residual value,
+# interval element count, interval left/end tracker, first-interval
+# flag, tail length (see decode_jax.decode_blocks emit_aux).
+NAUX = 6
+_AUX_KEYS = ("x", "prevres", "ivsum", "ivl", "fiv", "tail")
 
 
 def _pl():
@@ -103,12 +109,16 @@ def plan_segments(entry_ptr: np.ndarray, end_ptr: np.ndarray,
 @functools.partial(jax.jit, static_argnames=("smaxp", "gpad"))
 def build_slab(stream_rows, seg_base_pair, smaxp: int, gpad: int):
     """Gathers each lane's stream segment into the kernel slab
-    [smaxp, gpad] i32: slab[j, l] = packed pair seg_base_pair[l] + j
-    (clamped to the stream). seg_base_pair is i64-safe."""
+    [nch, smaxp, gpad] i32 (nch = chunk count, lanes split contiguously
+    into nch groups of gpad): slab[c, j, l] = packed pair
+    seg_base_pair[c*gpad + l] + j (clamped to the stream).
+    seg_base_pair [nch * gpad] is i64-safe."""
     pairs = stream_rows.reshape(-1)
     npairs = pairs.shape[0]
-    j = jnp.arange(smaxp, dtype=seg_base_pair.dtype)[:, None]
-    idx = jnp.clip(seg_base_pair[None, :] + j, 0, npairs - 1)
+    nch = seg_base_pair.shape[0] // gpad
+    base = seg_base_pair.reshape(nch, 1, gpad)
+    j = jnp.arange(smaxp, dtype=seg_base_pair.dtype)[None, :, None]
+    idx = jnp.clip(base + j, 0, npairs - 1)
     slab = pairs[idx]
     return jax.lax.bitcast_convert_type(slab, jnp.int32)
 
@@ -130,7 +140,7 @@ def _ans_step(params: CodecParams, lut, nrows: int, slab_ref,
     (value u32, state, ptr)."""
     A = state.shape[0]
     mf = params[10]
-    smaxp = slab_ref.shape[0]
+    smaxp = slab_ref.shape[1]
     ngrp = smaxp // 8
     comp_eq = {c: comp == c for c in range(1, 9)}
     shape = state.shape
@@ -159,7 +169,7 @@ def _ans_step(params: CodecParams, lut, nrows: int, slab_ref,
         sfs.append(row[:, 128:256])
         plo = pair_lo[a:a + 1, :]
         g0 = jnp.minimum(plo >> 3, ngrp - 1)
-        tile = slab_ref[:, a * 128:(a + 1) * 128]
+        tile = slab_ref[0, :, a * 128:(a + 1) * 128]
         grps = [tree_select_rows8(tile, jnp.minimum(g0 + k, ngrp - 1),
                                   ngrp) for k in range(nspan)]
         base7 = plo & 7
@@ -221,20 +231,31 @@ def _ans_step(params: CodecParams, lut, nrows: int, slab_ref,
 
 
 def _fsm_step(params: CodecParams, lut, nrows: int, slab_ref, regs,
-              window: int, min_interval: int, gpad: int):
+              window: int, min_interval: int, gpad: int,
+              emit_aux: bool = False):
     """One grammar-FSM token step on the register tuple (1:1 port of
-    decode_jax.decode_blocks one_step). regs is a dict of [A,128] i32
-    arrays (state is u32). Returns (regs, value u32, nibble u32)."""
+    decode_jax.decode_blocks one_step, including emit_aux mode). regs is
+    a dict of [A,128] i32 arrays (state is u32). Returns
+    (regs, value u32, aux1 u32|None, aux2 u32|None, nibble u32)."""
     i32 = jnp.int32
     R = window + 1
     p = regs["phase"]
     active = p != P_DONE
+    is_sum = active & (p == P_SUM) if emit_aux else jnp.zeros(
+        p.shape, bool)
+    dec_active = active & ~is_sum if emit_aux else active
+    res_rem_pre = regs["resrem"]
+    blocks_sum_pre = regs["bsum"]
+    copied_pre = regs["copied"]
+    cpy_pre = regs["cpy"]
     comp = jnp.minimum(p, P_RES)
     v_u, state, ptr = _ans_step(
         params, lut, nrows, slab_ref, regs["state"], regs["ptr"], comp,
-        active, gpad)
-    vu = jnp.where(active, v_u, jnp.uint32(0))
-    nib = jnp.where(active, p.astype(jnp.uint32), jnp.uint32(0xF))
+        dec_active, gpad)
+    vu = jnp.where(dec_active, v_u, jnp.uint32(0))
+    nib = jnp.where(dec_active, jnp.minimum(p, P_RES).astype(jnp.uint32),
+                    jnp.where(is_sum, jnp.uint32(NIB_SUM),
+                              jnp.uint32(0xF)))
     v = jax.lax.bitcast_convert_type(v_u, i32)
 
     xmod = regs["xmod"]
@@ -288,6 +309,46 @@ def _fsm_step(params: CodecParams, lut, nrows: int, slab_ref, regs,
     is_res = active & (p == P_RES)
     res_rem = jnp.where(is_fr | is_res, res_rem - 1, res_rem)
 
+    if emit_aux:
+        # per-token reconstruction fields (decode_jax.decode_blocks
+        # emit_aux docstring); all i32
+        is_is = active & (p == P_IS)
+        x = regs["x"]
+        prevres0 = regs["prevres"]
+        ivsum0 = jnp.where(is_out, 0, regs["ivsum"])
+        ivl0 = regs["ivl"]
+        fiv0 = regs["fiv"]
+        n2i = (v >> 1) ^ -(v & 1)          # nat2int
+        resval = jnp.where(is_fr, x + n2i, prevres0 + v + 1)
+        prevres = jnp.where(is_fr | is_res, resval, prevres0)
+        left_iv = jnp.where(fiv0 != 0, x + n2i, ivl0 + 1 + v)
+        ilen = v + min_interval
+        ivl = jnp.where(is_is, left_iv,
+                        jnp.where(is_il, ivl0 + ilen, ivl0))
+        fiv = jnp.where(is_ic, 1, jnp.where(is_is, 0, fiv0))
+        ivsum = jnp.where(is_il, ivsum0 + ilen, ivsum0)
+        tail = jnp.where(is_out, 0, regs["tail"])
+        tail = jnp.where(is_bc & (v == 0), ref_outdeg, tail)
+        tail = jnp.where(
+            blocks_done,
+            jnp.where(bc % 2 == 0, ref_outdeg - blocks_sum, 0), tail)
+        aux1 = jnp.where(is_blk, blocks_sum_pre, 0)
+        aux2 = jnp.where(is_blk, (copied_pre << 1) | cpy_pre, 0)
+        aux1 = jnp.where(is_is | is_il,
+                         jnp.where(is_is, left_iv, ivl0), aux1)
+        aux2 = jnp.where(is_is | is_il, copied + ivsum0, aux2)
+        aux1 = jnp.where(is_fr | is_res, resval, aux1)
+        aux2 = jnp.where(is_fr | is_res, d - res_rem_pre, aux2)
+        aux1 = jnp.where(is_sum, ivsum0, aux1)
+        aux2 = jnp.where(is_sum, tail, aux2)
+        a1u = jax.lax.bitcast_convert_type(aux1, jnp.uint32)
+        a2u = jax.lax.bitcast_convert_type(aux2, jnp.uint32)
+        vu = jnp.where(is_sum,
+                       jax.lax.bitcast_convert_type(copied, jnp.uint32),
+                       vu)
+    else:
+        a1u = a2u = None
+
     P_DONE_NODE = -1
     enter_tail = ((is_out & (v > 0) & (window == 0))
                   | (is_ref & (v == 0))
@@ -327,16 +388,26 @@ def _fsm_step(params: CodecParams, lut, nrows: int, slab_ref, regs,
     left = jnp.where(node_done, regs["left"] - 1, regs["left"])
     xmod = jnp.where(node_done, xmod + 1, xmod)
     xmod = jnp.where(xmod >= R, 0, xmod)
-    nxt = jnp.where(node_done, jnp.where(left <= 0, P_DONE, P_OUT), nxt)
+    if emit_aux:
+        # node end -> one summary pseudo-step, then the next node
+        nxt = jnp.where(node_done, P_SUM, nxt)
+        nxt = jnp.where(is_sum, jnp.where(left <= 0, P_DONE, P_OUT), nxt)
+    else:
+        nxt = jnp.where(node_done,
+                        jnp.where(left <= 0, P_DONE, P_OUT), nxt)
     phase = jnp.where(nxt == -2, p, nxt)
 
     out = dict(state=state, ptr=ptr, left=left, phase=phase, d=d, bc=bc,
                brem=blocks_rem, bidx=blk_idx, bsum=blocks_sum,
                cpy=copy_flag, copied=copied, refd=ref_outdeg,
                extra=extra, ivrem=iv_rem, resrem=res_rem,
-               outn=regs["outn"] + active.astype(i32), xmod=xmod,
+               outn=regs["outn"] + dec_active.astype(i32), xmod=xmod,
                ring=ring)
-    return out, vu, nib
+    if emit_aux:
+        out.update(x=jnp.where(node_done, regs["x"] + 1, regs["x"]),
+                   prevres=prevres, ivsum=ivsum, ivl=ivl, fiv=fiv,
+                   tail=tail)
+    return out, vu, a1u, a2u, nib
 
 
 _REG_KEYS = ("state", "ptr", "left", "phase", "d", "bc", "brem", "bidx",
@@ -344,63 +415,87 @@ _REG_KEYS = ("state", "ptr", "left", "phase", "d", "bc", "brem", "bidx",
              "outn", "xmod")
 
 
-def _regs_from_tuple(t, R):
+def _regs_from_tuple(t, R, emit_aux: bool = False):
     regs = dict(zip(_REG_KEYS, t[:NSREG]))
     regs["state"] = jax.lax.bitcast_convert_type(regs["state"], jnp.uint32)
     regs["ring"] = list(t[NSREG:NSREG + R])
+    if emit_aux:
+        regs.update(zip(_AUX_KEYS, t[NSREG + R:NSREG + R + NAUX]))
     return regs
 
 
-def _regs_to_tuple(regs):
+def _regs_to_tuple(regs, emit_aux: bool = False):
     i32state = jax.lax.bitcast_convert_type(regs["state"], jnp.int32)
-    return ((i32state,) + tuple(regs[k] for k in _REG_KEYS[1:])
-            + tuple(regs["ring"]))
+    t = ((i32state,) + tuple(regs[k] for k in _REG_KEYS[1:])
+         + tuple(regs["ring"]))
+    if emit_aux:
+        t = t + tuple(regs[k] for k in _AUX_KEYS)
+    return t
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("params", "window", "min_interval", "cap",
-                     "interpret"))
+                     "interpret", "emit_aux"))
 def decode_blocks_pallas(params: CodecParams, lut, slab, init_regs,
                          window: int, min_interval: int, cap: int,
-                         interpret: bool = False):
+                         interpret: bool = False, emit_aux: bool = False):
     """Grammar-FSM token decode as one Pallas kernel. Same contract as
-    decode_jax.decode_blocks: returns (out [cap + cap//8, G] u32,
-    counts [G] i32, ok [G] bool) where G = init_regs.shape[2] * 128;
-    row s < cap holds token values of lockstep step s, rows cap + s//8
-    the component nibbles (0xF on finished lanes).
+    decode_jax.decode_blocks: returns (out [cap + cap//8, nch*G] u32,
+    counts [nch*G] i32, ok [nch*G] bool) where G = init_regs.shape[3]
+    * 128; row s < cap holds token values of lockstep step s, rows
+    cap + s//8 the component nibbles (0xF on finished lanes).
 
-    init_regs [NSREG + window + 1, A, 128] i32 comes from
-    make_init_regs; slab [smaxp, G] from build_slab; lut from
-    build_pallas_lut. cap must be a multiple of 8."""
+    CHUNKED streams: the kernel grid is (nch, cap//UNROLL); chunk c
+    decodes lanes [c*G, (c+1)*G) with its own [smaxp, G] stream slab
+    streamed HBM->VMEM per chunk by the Pallas pipeline. Total stream
+    size is therefore bounded by HBM, not VMEM — only ONE chunk's slab
+    is VMEM-resident at a time (the VMEM ceiling VERDICT r02 flagged).
+
+    init_regs [nch, NSREG + window + 1 (+6 aux rows), A, 128] i32 comes
+    from make_init_regs_device (pad_to_lanes = nch*G); slab
+    [nch, smaxp, G] from build_slab; lut from build_pallas_lut. cap must
+    be a multiple of 8.
+
+    emit_aux=True: reconstruction mode (see decode_jax.decode_blocks) —
+    out grows to [3*cap + cap//8, nch*G] with aux rows at cap..3cap, and
+    init_regs must carry the aux register rows
+    (make_init_regs_device(emit_aux=True))."""
     pl, pltpu = _pl()
     assert cap % UNROLL == 0
-    NR, A, _ = init_regs.shape
+    nch, NR, A, _ = init_regs.shape
     R = window + 1
+    assert NR == NSREG + R + (NAUX if emit_aux else 0), \
+        "init_regs rows do not match emit_aux mode"
     G = A * 128
-    smaxp = slab.shape[0]
+    smaxp = slab.shape[1]
+    n_val_outs = 3 if emit_aux else 1
 
-    def kernel(lut_ref, slab_ref, init_ref, vals_ref, nibs_ref, fin_ref,
-               regs_sc):
-        pid = pl.program_id(0)
+    def kernel(lut_ref, slab_ref, init_ref, *out_refs):
+        vrefs = out_refs[:n_val_outs]
+        nibs_ref, fin_ref, regs_sc = out_refs[n_val_outs:]
+        pid = pl.program_id(1)
 
         @pl.when(pid == 0)
         def _init():
-            regs_sc[:] = init_ref[:]
+            regs_sc[:] = init_ref[0]
 
         lutv = lut_ref[:]
 
         def substep(sub, t):
-            regs = _regs_from_tuple(t, R)
-            regs, vu, nib = _fsm_step(params, lutv, nrows_of(params),
-                                      slab_ref, regs, window,
-                                      min_interval, G)
+            regs = _regs_from_tuple(t, R, emit_aux)
+            regs, vu, a1u, a2u, nib = _fsm_step(
+                params, lutv, nrows_of(params), slab_ref, regs, window,
+                min_interval, G, emit_aux)
             cpk = t[-1]
             shift = (jnp.uint32(4) * sub.astype(jnp.uint32))
             cpk = ((cpk & ~(jnp.uint32(0xF) << shift))
                    | ((nib & jnp.uint32(0xF)) << shift))
-            vals_ref[pl.ds(sub, 1), :, :] = vu[None, :, :]
-            return _regs_to_tuple(regs) + (cpk,)
+            vrefs[0][0, pl.ds(sub, 1), :, :] = vu[None, :, :]
+            if emit_aux:
+                vrefs[1][0, pl.ds(sub, 1), :, :] = a1u[None, :, :]
+                vrefs[2][0, pl.ds(sub, 1), :, :] = a2u[None, :, :]
+            return _regs_to_tuple(regs, emit_aux) + (cpk,)
 
         t0 = tuple(regs_sc[i, :, :] for i in range(NR))
         t0 = t0 + (jnp.full((A, 128), 0xFFFFFFFF, jnp.uint32),)
@@ -408,47 +503,51 @@ def decode_blocks_pallas(params: CodecParams, lut, slab, init_regs,
         for i in range(NR):
             regs_sc[i, :, :] = t[i]
         nibs_ref[:] = jax.lax.bitcast_convert_type(
-            t[-1], jnp.int32)[None, :, :]
-        fin_ref[0, :, :] = t[S_OUTN_IDX]
-        fin_ref[1, :, :] = t[S_PHASE_IDX]
+            t[-1], jnp.int32)[None, None, :, :]
+        fin_ref[0, 0, :, :] = t[S_OUTN_IDX]
+        fin_ref[0, 1, :, :] = t[S_PHASE_IDX]
 
     S_OUTN_IDX = S_OUTN
     S_PHASE_IDX = S_PHASE
 
-    vals, nibs, fin = pl.pallas_call(
+    val_spec = pl.BlockSpec((1, UNROLL, A, 128), lambda c, i: (c, i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    val_shape = jax.ShapeDtypeStruct((nch, cap, A, 128), jnp.uint32)
+    res = pl.pallas_call(
         kernel,
-        grid=(cap // UNROLL,),
+        grid=(nch, cap // UNROLL),
         in_specs=[
-            pl.BlockSpec(lut.shape, lambda i: (0, 0),
+            pl.BlockSpec(lut.shape, lambda c, i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((smaxp, G), lambda i: (0, 0),
+            pl.BlockSpec((1, smaxp, G), lambda c, i: (c, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((NR, A, 128), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((UNROLL, A, 128), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, A, 128), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, A, 128), lambda i: (0, 0, 0),
+            pl.BlockSpec((1, NR, A, 128), lambda c, i: (c, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_shape=[
-            jax.ShapeDtypeStruct((cap, A, 128), jnp.uint32),
-            jax.ShapeDtypeStruct((cap // UNROLL, A, 128), jnp.int32),
-            jax.ShapeDtypeStruct((2, A, 128), jnp.int32),
+        out_specs=[val_spec] * n_val_outs + [
+            pl.BlockSpec((1, 1, A, 128), lambda c, i: (c, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, A, 128), lambda c, i: (c, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[val_shape] * n_val_outs + [
+            jax.ShapeDtypeStruct((nch, cap // UNROLL, A, 128), jnp.int32),
+            jax.ShapeDtypeStruct((nch, 2, A, 128), jnp.int32),
         ],
         scratch_shapes=[pltpu.VMEM((NR, A, 128), jnp.int32)],
         interpret=interpret,
     )(lut, slab, init_regs)
+    vrows, nibs, fin = res[:n_val_outs], res[n_val_outs], res[n_val_outs + 1]
 
+    # chunk-major lanes -> one flat lane axis (lane c*G + a*128 + j)
     out = jnp.concatenate(
-        [vals.reshape(cap, G),
-         jax.lax.bitcast_convert_type(nibs, jnp.uint32).reshape(
-             cap // UNROLL, G)], axis=0)
-    counts = fin[0].reshape(G)
-    ok = fin[1].reshape(G) == P_DONE
+        [jnp.transpose(vr, (1, 0, 2, 3)).reshape(cap, nch * G)
+         for vr in vrows]
+        + [jax.lax.bitcast_convert_type(
+            jnp.transpose(nibs, (1, 0, 2, 3)), jnp.uint32).reshape(
+            cap // UNROLL, nch * G)], axis=0)
+    counts = fin[:, 0].reshape(nch * G)
+    ok = fin[:, 1].reshape(nch * G) == P_DONE
     return out, counts, ok
 
 
@@ -458,15 +557,19 @@ def nrows_of(params: CodecParams) -> int:
 
 
 def make_init_regs_device(states, rel_ptrs, starts, ends, ring,
-                          window: int, pad_to_lanes: int | None = None):
+                          window: int, pad_to_lanes: int | None = None,
+                          num_chunks: int = 1, emit_aux: bool = False):
     """Device-side make_init_regs: same layout, built with jnp ops so
     the decode plan never reads device data back to the host (on the
     axon relay ANY device->host fetch permanently degrades dispatch to
     ~27 ms/call; on real TPU serving, host syncs in the plan path are
     simply wasted latency). `ring` may be a device array (seed_rings
     output); states/rel_ptrs/starts/ends may be host or device.
-    pad_to_lanes (a multiple of 128) pads with finished lanes beyond
-    the default 128-multiple, for chunked kernel invocations."""
+    pad_to_lanes (a multiple of 128 * num_chunks) pads with finished
+    lanes beyond the default 128-multiple. Returns
+    [num_chunks, NSREG + window + 1, lanes_per_chunk // 128, 128] —
+    chunk c covers lanes [c * lanes_per_chunk, (c+1) * lanes_per_chunk)
+    of the flat lane order."""
     states = jnp.asarray(states)
     rel_ptrs = jnp.asarray(rel_ptrs, jnp.int32)
     # node ids fit i32 (TpuGraphDecoder guards num_nodes < 2^31)
@@ -476,14 +579,15 @@ def make_init_regs_device(states, rel_ptrs, starts, ends, ring,
     ring = jnp.asarray(ring, jnp.int32)
     L = states.shape[0]
     R = window + 1
-    gpad = -(-max(L, 1) // 128) * 128
+    quantum = 128 * num_chunks
+    gpad = -(-max(L, 1) // quantum) * quantum
     if pad_to_lanes is not None:
-        if pad_to_lanes % 128 or pad_to_lanes < gpad:
+        if pad_to_lanes % quantum or pad_to_lanes < gpad:
             raise ValueError(
-                f"pad_to_lanes must be a multiple of 128 >= {gpad}")
+                f"pad_to_lanes must be a multiple of {quantum} >= {gpad}")
         gpad = pad_to_lanes
-    A = gpad // 128
-    NR = NSREG + R
+    A = gpad // (128 * num_chunks)
+    NR = NSREG + R + (NAUX if emit_aux else 0)
     regs = jnp.zeros((NR, gpad), jnp.int32)
 
     def put(row, vals):
@@ -498,16 +602,20 @@ def make_init_regs_device(states, rel_ptrs, starts, ends, ring,
                                   P_DONE).astype(jnp.int32))
     regs = put(S_XMOD, (starts % R).astype(jnp.int32))
     regs = regs.at[NSREG:NSREG + R, :L].set(ring.T)
-    return regs.reshape(NR, A, 128)
+    if emit_aux:
+        regs = put(NSREG + R, starts.astype(jnp.int32))  # absolute node
+    return jnp.transpose(
+        regs.reshape(NR, num_chunks, A, 128), (1, 0, 2, 3))
 
 
-def make_init_regs(states, rel_ptrs, starts, ends, ring, window: int):
-    """Initial register file [NSREG + window + 1, A, 128] i32 for
-    decode_blocks_pallas (host-side numpy). Lane l = (a, c) at
-    a*128 + c; lanes are padded to a multiple of 128 with finished
-    lanes. rel_ptrs are SEGMENT-relative word pointers (see
-    plan_segments). ring is the seed from decode_jax.seed_rings,
-    [L, window+1]."""
+def make_init_regs(states, rel_ptrs, starts, ends, ring, window: int,
+                   num_chunks: int = 1):
+    """Initial register file [num_chunks, NSREG + window + 1, A, 128]
+    i32 for decode_blocks_pallas (host-side numpy). Lane l = (c, a, j)
+    at c*A*128 + a*128 + j; lanes are padded to a multiple of
+    128*num_chunks with finished lanes. rel_ptrs are SEGMENT-relative
+    word pointers (see plan_segments). ring is the seed from
+    decode_jax.seed_rings, [L, window+1]."""
     states = np.asarray(states, np.uint32)
     rel_ptrs = np.asarray(rel_ptrs, np.int32)
     starts = np.asarray(starts, np.int64)
@@ -515,8 +623,9 @@ def make_init_regs(states, rel_ptrs, starts, ends, ring, window: int):
     ring = np.asarray(ring, np.int32)
     L = len(states)
     R = window + 1
-    gpad = -(-max(L, 1) // 128) * 128
-    A = gpad // 128
+    quantum = 128 * num_chunks
+    gpad = -(-max(L, 1) // quantum) * quantum
+    A = gpad // quantum
     NR = NSREG + R
     regs = np.zeros((NR, gpad), np.int32)
 
@@ -531,4 +640,5 @@ def make_init_regs(states, rel_ptrs, starts, ends, ring, window: int):
     regs[S_PHASE, L:] = P_DONE
     for k in range(R):
         put(NSREG + k, ring[:, k])
-    return regs.reshape(NR, A, 128)
+    return np.ascontiguousarray(
+        regs.reshape(NR, num_chunks, A, 128).transpose(1, 0, 2, 3))

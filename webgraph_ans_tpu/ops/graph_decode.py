@@ -321,9 +321,14 @@ class TpuGraphDecoder:
             ring[rows[valid], col[valid]] = deg_arr[valid]
         return ring
 
-    # slab VMEM budget for the Pallas kernel (bytes); beyond this the
-    # XLA while-loop kernel takes over (or use more lanes).
-    PALLAS_SLAB_LIMIT = 10 << 20
+    # per-CHUNK slab VMEM budget for the Pallas kernel (bytes). Streams
+    # larger than this split into grid chunks (decode_pallas: the slab
+    # is HBM-resident [nch, smaxp, Gc]; the Pallas pipeline streams one
+    # chunk's slab through VMEM at a time, double-buffered — so this
+    # budget bounds VMEM, while total stream size is bounded only by
+    # HBM). The XLA while-loop kernel remains the fallback for lane
+    # counts too small to chunk (Gc would drop below 128).
+    PALLAS_SLAB_LIMIT = 4 << 20
 
     def _use_pallas(self, num_lanes: int) -> bool:
         import os
@@ -364,8 +369,19 @@ class TpuGraphDecoder:
         end_abs = np.where(empty, 0, end_abs)
         mf = self.params[10]
         seg_base, smaxp = dp.plan_segments(entry_abs, end_abs, mf)
-        gpad = -(-len(starts) // 128) * 128
-        if smaxp * gpad * 4 > self.PALLAS_SLAB_LIMIT:
+        # Chunk count: smallest nch whose per-chunk slab [smaxp, Gc]
+        # fits the VMEM budget; lanes split contiguously into nch
+        # groups of Gc (a multiple of 128). Chunks beyond the first
+        # cost only the pipelined HBM->VMEM slab swap.
+        L = len(starts)
+        nch = None
+        for cand in range(1, L // 128 + 2):
+            quantum = 128 * cand
+            gpad_c = -(-L // quantum) * quantum
+            if smaxp * (gpad_c // cand) * 4 <= self.PALLAS_SLAB_LIMIT:
+                nch, gpad = cand, gpad_c
+                break
+        if nch is None:
             base_pl["pallas"] = False
             return None
         seg_pad = np.zeros(gpad, seg_base.dtype)
@@ -373,28 +389,39 @@ class TpuGraphDecoder:
         if len(self.tables.stream_rows.reshape(-1)) < 1 << 31:
             seg_pad = seg_pad.astype(np.int32)
         slab = dp.build_slab(self.tables.stream_rows,
-                             jnp.asarray(seg_pad), smaxp, gpad)
+                             jnp.asarray(seg_pad), smaxp, gpad // nch)
         rel_seg = entry_abs - 2 * seg_base
         # built ON DEVICE: the plan path must never fetch device data
         # (the ring seed stays a device array; see make_init_regs_device)
         init = dp.make_init_regs_device(
             base_pl["states"], rel_seg, starts, ends, base_pl["ring"],
-            self.window)
+            self.window, pad_to_lanes=gpad, num_chunks=nch)
+        init_aux = dp.make_init_regs_device(
+            base_pl["states"], rel_seg, starts, ends, base_pl["ring"],
+            self.window, pad_to_lanes=gpad, num_chunks=nch,
+            emit_aux=True)
         if not hasattr(self, "_pallas_lut"):
             self._pallas_lut = dp.build_pallas_lut(self.params,
                                                    self.lut_np)
-        pp = dict(slab=slab, init=init, lut=self._pallas_lut[0])
+        pp = dict(slab=slab, init=init, init_aux=init_aux,
+                  lut=self._pallas_lut[0])
         base_pl["pallas"] = pp
         return pp
 
     def decode_raw(self, num_lanes: int = 256, cap: int | None = None,
-                   check: bool = True):
+                   check: bool = True, emit_aux: bool = False):
         """Lane-parallel token decode of the whole graph; returns the raw
         DEVICE output (out, counts, cap) of decode_blocks (see
         ops/decode_jax.py for the layout) — no host transfer. Runs the
         Pallas kernel (ops/decode_pallas.py) when the backend supports
-        it and the stream segments fit VMEM; the XLA while-loop kernel
-        otherwise (same output contract, token-identical).
+        it (the XLA while-loop kernel otherwise; same output contract,
+        token-identical). Streams larger than the VMEM slab budget run
+        chunked through the Pallas grid (see _pallas_plan).
+
+        emit_aux=True decodes in reconstruction mode: 3 value rows per
+        step + one summary pseudo-step per node (decode_jax.decode_blocks
+        docstring); cap then covers tokens + nodes per lane (tracked
+        separately in the plan).
 
         check=False skips the cap-overflow verification (a device->host
         read of the ok flags) entirely: no retry, and the call issues
@@ -407,46 +434,63 @@ class TpuGraphDecoder:
 
         pl = self.plan(num_lanes)
         auto = cap is None
+        capkey = "cap_aux" if emit_aux else "cap"
+        if auto and capkey not in pl:
+            # summary pseudo-steps add one step per node in the lane
+            nodes_max = int(np.max(pl["ends_np"] - pl["starts_np"]))
+            pl["cap_aux"] = round_cap(self.params, pl["cap"] + nodes_max)
         if self._use_pallas(num_lanes):
             from .decode_pallas import decode_blocks_pallas
 
             pp = self._pallas_plan(num_lanes)
             interp = os.environ.get("WGT_PALLAS") == "interpret"
-            cap = pl["cap"] if auto else round_cap(self.params, cap)
+            cap = pl[capkey] if auto else round_cap(self.params, cap)
             while True:
                 out, counts, ok = decode_blocks_pallas(
-                    self.params, pp["lut"], pp["slab"], pp["init"],
+                    self.params, pp["lut"], pp["slab"],
+                    pp["init_aux" if emit_aux else "init"],
                     self.window, self.min_interval, cap,
-                    interpret=interp)
+                    interpret=interp, emit_aux=emit_aux)
                 L = len(pl["starts"])
                 out, counts, ok = out[:, :L], counts[:L], ok[:L]
                 if not check or bool(np.all(np.asarray(ok))):
                     break
                 cap *= 2
             if auto:
-                pl["cap"] = cap
+                pl[capkey] = cap
             return out, counts, cap
-        cap = pl["cap"] if auto else round_cap(self.params, cap)
+        cap = pl[capkey] if auto else round_cap(self.params, cap)
         while True:
             out, counts, ok = decode_blocks(
                 self.params, self.tables, pl["states"], pl["ptrs"],
                 pl["starts"], pl["ends"], pl["ring"],
-                self.window, self.min_interval, cap, pl["base"])
+                self.window, self.min_interval, cap, pl["base"],
+                emit_aux=emit_aux)
+            L = len(pl["starts"])
+            out, counts, ok = out[:, :L], counts[:L], ok[:L]
             if not check or bool(np.all(np.asarray(ok))):
                 break
             cap *= 2
         if auto:
-            pl["cap"] = cap   # remember a successful (possibly grown) cap
+            pl[capkey] = cap  # remember a successful (possibly grown) cap
         return out, counts, cap
 
-    def tighten_cap(self, num_lanes: int = 256) -> int:
+    def tighten_cap(self, num_lanes: int = 256,
+                    emit_aux: bool = False) -> int:
         """One decode to observe true per-lane token counts, then shrink
         the plan's cap to the smallest quantum covering them. Every P-scale
-        stage downstream (unpack/parse/place) costs proportionally to
+        stage downstream (unpack/parse/assemble) costs proportionally to
         cap * lanes, so a tight cap is a direct throughput win."""
         pl = self.plan(num_lanes)
-        _, counts, _ = self.decode_raw(num_lanes)
-        tight = round_cap(self.params, int(np.asarray(counts).max()))
+        _, counts, _ = self.decode_raw(num_lanes, emit_aux=emit_aux)
+        counts = np.asarray(counts)
+        if emit_aux:
+            steps = counts + (pl["ends_np"] - pl["starts_np"])[
+                :len(counts)]
+            tight = round_cap(self.params, int(steps.max()))
+            pl["cap_aux"] = min(pl["cap_aux"], tight)
+            return pl["cap_aux"]
+        tight = round_cap(self.params, int(counts.max()))
         pl["cap"] = min(pl["cap"], tight)
         return pl["cap"]
 
@@ -459,21 +503,22 @@ class TpuGraphDecoder:
 
     def decode_to_csr_device(self, num_lanes: int = 2048,
                              cap: int | None = None):
-        """Full end-to-end decode on device: token decode + successor
-        reconstruction with no host transfer of the token buffer. Returns
-        (offsets [n+1] i32 device, succs [Epad] i32 device, E) — the
-        successor lists are succs[:E]. The device-side analog of the
-        reference's sequential scan + BvGraph reconstruction."""
+        """Full end-to-end decode on device: aux-mode token decode +
+        successor reconstruction with no host transfer of the token
+        buffer. Returns (offsets [n+1] i32 device, succs [Epad] i32
+        device, E) — the successor lists are succs[:E]. The device-side
+        analog of the reference's sequential scan + BvGraph
+        reconstruction."""
         from .reconstruct_device import reconstruct_device
 
         pl = self.plan(num_lanes)
-        if cap is None and not pl.get("tight"):
+        if cap is None and not pl.get("tight_aux"):
             # every P-scale reconstruction stage costs proportionally to
             # cap * lanes; one observation decode (cached in the plan)
             # shrinks cap ~1.5-3x vs the a-priori estimate
-            self.tighten_cap(num_lanes)
-            pl["tight"] = True
-        out, counts, cap = self.decode_raw(num_lanes, cap)
+            self.tighten_cap(num_lanes, emit_aux=True)
+            pl["tight_aux"] = True
+        out, counts, cap = self.decode_raw(num_lanes, cap, emit_aux=True)
         # the decode plan doubles as the reconstruction meta cache: after
         # the first call the whole pipeline queues without a host sync
         meta_cache = self.plan(num_lanes).setdefault("recon_meta", {})

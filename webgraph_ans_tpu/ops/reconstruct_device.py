@@ -1,43 +1,47 @@
-"""Device-side successor-list reconstruction (full graph), scan-first.
+"""Device-side successor-list reconstruction from aux-mode decode output.
 
-Turns decode_blocks token output into a CSR adjacency entirely on device.
-The reference capability being replaced is the successor reconstruction
-machinery of webgraph's BvGraph (executable spec: native/src/bvgraph.hpp
-read_successors; SURVEY.md section 2.2).
+Turns decode_blocks(emit_aux=True) output into a CSR adjacency entirely
+on device. The reference capability being replaced is the successor
+reconstruction machinery of webgraph's BvGraph (executable spec:
+native/src/bvgraph.hpp read_successors; SURVEY.md section 2.2).
 
-Design is driven by the measured v5e costs (tools/probe_parse.py,
-tools/probe_recon_marginal.py): elementwise ops and cumsums over the
-P-token buffer are a few ms, while every P-sized gather / scatter costs
-~30-40 ms in-program. The expensive-op inventory is therefore bounded to:
+Design (round 3): the decode kernel's FSM already tracks everything the
+old token-space parser re-derived with ~10 P-scale cumsum/scatter passes
+(VERDICT r02: parse 113 ms + place 45 ms + copy_fields 44 ms of the
+90 ns/arc end-to-end cost). In aux mode the kernel emits, per token, two
+extra u32 rows with PRE-RESOLVED reconstruction fields:
 
-- ONE P-scatter to find per-node start positions (sp),
-- ONE combined P-scatter that simultaneously places residual values into
-  the successor buffer and seeds the interval/copy run channels — the
-  copy channel directly in (reference-chain depth, node) grouped order,
-  so the depth-resolution rounds can slice it with no reorder pass,
-- ONE Ecap scatter (interval expansion into succs),
-- one 2-key segment sort of the successor buffer per copy round, with
-  round work sliced by chain depth so total round work is O(copied
-  elements), not O(copied x depth).
+- residual tokens: aux1 = the absolute successor value (the kernel keeps
+  a running previous-residual register), aux2 = the node-local grouped
+  element index (copies + intervals + prior residuals);
+- interval start/len tokens: aux1 = the absolute left extreme, aux2 =
+  the node-local grouped element start of the run;
+- block tokens: aux1 = the running block-length sum (start of this block
+  inside the referenced list), aux2 = (copied-so-far << 1) | is_copy;
+- one summary pseudo-step per node (nibble 0x9): value = ncop,
+  aux1 = niv, aux2 = tail_len.
 
-Runs carry their VALUES in the channels (packed with a validity bit) and
-a "last-valid" associative scan broadcasts them to run elements — no
-per-element gather back into token space at all. Everything else is
-built from two scan identities that replace per-token gathers of
-per-node tables:
+What remains here is exactly four P-scale passes (unpack, one node-id
+cumsum, one node-table scatter, one run/element scatter), two
+element-scale scans, one segment sort, and the reference-chain depth
+rounds:
 
-- inject-reset local cumsum: cumsum(contrib + scatter_at_node_start(
-  -prev_node_total)) yields the within-node running sum directly. This is
-  exact under int32 wraparound (the global cumsum may wrap; per-node
-  injections are computed from wrapped differences, which are exact mod
-  2^32, and all local values fit in int31).
-- delta broadcast: to broadcast per-node table values to token/element
-  positions, scatter successive differences at the node region starts and
-  cumsum. Works for arbitrary (non-monotone) values; n-scale scatter only.
+- every run (interval or copy) scatters ONE packed value at its first
+  element: (val - gstart) << 1 | 1, where val is the interval's left
+  extreme or the run's absolute source base. Runs tile contiguously
+  within a node's region, so a last-valid scan broadcasts the value to
+  every element of the run, and element g resolves as (val - gstart) + g
+  — no per-element gathers, no ordering constraints on the scatter;
+- copy runs land in a (reference-chain depth, node)-grouped worklist
+  [Ccap] of (slot, src) pairs, so depth-resolution rounds slice their
+  elements statically (round k: gather from the already-final parents in
+  the sorted array F, scatter into the grouped succs, re-sort);
+- per-node values broadcast to token/element positions with the
+  delta-scatter + cumsum identity (n-scale scatters only).
 
 Component ids: 0 outdegree, 1 reference, 2 block count, 3 block,
 4 interval count, 5 interval start, 6 interval len, 7 first residual,
-8 residual gap, 0xF invalid (see ops/decode_jax.py).
+8 residual gap, 9 node summary, 0xF invalid (see ops/decode_jax.py).
 """
 
 from __future__ import annotations
@@ -53,11 +57,6 @@ from .decode_jax import UNROLL
 I32 = jnp.int32
 
 
-def _nat2int(v):
-    """Inverse of int2nat: even v -> v/2, odd v -> -(v/2)-1."""
-    return jnp.where(v & 1 == 1, -((v >> 1) + 1), v >> 1)
-
-
 def _quant(x: int) -> int:
     """Buffer-size quantizer: smallest m<<k >= x with m in 4..7 (i.e. 1,
     1.25, 1.5, 1.75 x a power of two), minimum 16. Gather/scatter/sort
@@ -68,22 +67,6 @@ def _quant(x: int) -> int:
     return -(-x >> k) << k
 
 
-def _unpack(out, cap: int):
-    """decode_blocks output -> lane-major flat (v, nib) token arrays.
-    The nibble rows are unpacked by broadcasting the 8 shifts over the
-    packed [cap/8, G] rows and re-interleaving with a major-dims-only
-    transpose — an elementwise pass instead of a P-scale row gather
-    (the gather costs ~7 ns/element on v5e, tools/probe_prims2.py)."""
-    vals2d = out[:cap]
-    cpk = out[cap:]
-    shifts = jnp.arange(UNROLL, dtype=jnp.uint32) * 4
-    nib3 = (cpk[None, :, :] >> shifts[:, None, None]) & 0xF
-    nib2d = jnp.transpose(nib3, (1, 0, 2)).reshape(cap, -1)
-    v = vals2d.T.reshape(-1).astype(I32)
-    nib = nib2d.T.reshape(-1).astype(I32)
-    return v, nib
-
-
 def _excl(cs):
     """exclusive cumulative from an inclusive one (prepend 0)."""
     return jnp.concatenate([jnp.zeros(1, cs.dtype), cs])
@@ -91,13 +74,10 @@ def _excl(cs):
 
 def _cumsum(x, axis=-1, BK=1 << 14):
     """Blocked cumsum along the last axis. XLA lowers large-axis cumsums
-    to a reduce_window with a ~32x-size temp (a [5, 9.6M] stacked cumsum
-    allocated 9.2 GB of HLO temp and OOMed the parse program at
-    untightened caps); chunking into BK-sized blocks plus a cumsum of
-    block totals bounds temps at ~32x BK per block row with identical
-    results. Non-divisible axes are zero-padded up to the next BK
-    multiple and sliced back (padding is elementwise-scale), so no input
-    shape can silently fall through to the unbounded-temp lowering."""
+    to a reduce_window with a ~32x-size temp; chunking into BK-sized
+    blocks plus a cumsum of block totals bounds temps at ~32x BK per
+    block row with identical results. Non-divisible axes are zero-padded
+    up to the next BK multiple and sliced back."""
     assert axis in (-1, x.ndim - 1)
     P = x.shape[-1]
     if P <= BK:
@@ -118,32 +98,19 @@ def _cumsum(x, axis=-1, BK=1 << 14):
 
 
 def _ffill_valid(ch):
-    """Forward-fill the last value with bit0 set (channels pack run values
-    as (val<<1)|1; unseeded slots are 0). Last-valid combiner is
-    associative, so this is one associative scan — works for ARBITRARY
-    (non-monotone) run values, unlike a cummax of positions."""
+    """Forward-fill the last value with bit0 set along the last axis
+    (channels pack run values as (val<<1)|1; unseeded slots are 0).
+    Last-valid combiner is associative, so this is one associative scan;
+    works for arbitrary (negative, non-monotone) packed values."""
     return jax.lax.associative_scan(
-        lambda a, b: jnp.where(b & 1 == 1, b, a), ch)
-
-
-def _bcast_runs(size: int, starts_n, vals_n, mask_n):
-    """Broadcast vals_n[i] over [starts_n[i], starts_n[next masked i]) of a
-    length-`size` array for masked nodes (0 before the first): n-scale
-    argsort + scatter of successive deltas, then a free cumsum. Valid for
-    arbitrary int32 values (delta chain telescopes)."""
-    key = jnp.where(mask_n, starts_n, size)
-    order = jnp.argsort(key)
-    sv = vals_n[order]
-    st = key[order]
-    delta = sv - jnp.concatenate([jnp.zeros(1, I32), sv[:-1]])
-    arr = jnp.zeros(size, I32).at[st].add(
-        jnp.where(st < size, delta, 0), mode="drop")
-    return _cumsum(arr)
+        lambda a, b: jnp.where(b & 1 == 1, b, a), ch, axis=-1)
 
 
 def _bcast_runs_multi(size: int, starts_n, vals_list, mask_n):
-    """_bcast_runs for several value channels sharing (starts, mask):
-    one [C, size] stacked scatter + one stacked cumsum."""
+    """Broadcast vals[i] over [starts_n[i], starts_n[next masked i]) of a
+    length-`size` array for masked nodes (0 before the first), for
+    several value channels sharing (starts, mask): one n-scale argsort +
+    one [C, size] stacked delta scatter + one stacked cumsum."""
     key = jnp.where(mask_n, starts_n, size)
     order = jnp.argsort(key)
     st = key[order]
@@ -158,9 +125,9 @@ def _bcast_runs_multi(size: int, starts_n, vals_list, mask_n):
 
 
 def _depth_order(depth, ncop):
-    """Nodes ordered by (reference-chain depth, node): pi = the order, cb =
-    each node's copy-element base within that order (indexed by ORIGINAL
-    node id). All n-scale."""
+    """Nodes ordered by (reference-chain depth, node): pi = the order,
+    cb = each node's copy-element base within that order (indexed by
+    ORIGINAL node id). All n-scale."""
     n = depth.shape[0]
     _, pi = jax.lax.sort((depth, jnp.arange(n, dtype=I32)), num_keys=2)
     cb_pi = _excl(_cumsum(ncop[pi]))[:n]
@@ -168,85 +135,57 @@ def _depth_order(depth, ncop):
     return pi, cb
 
 
-@functools.partial(jax.jit, static_argnames=("num_nodes", "cap",
-                                             "min_interval"))
-def parse_stats(out, num_nodes: int, cap: int, min_interval: int):
-    """Pass 1: per-node statistics (all n-scale after one P-scatter for
-    sp). Returns the flat token arrays, node tables, and a small meta
-    vector [ok, total_iv, total_cop, max_depth, hist64...] for one host
+def _unpack4(out, cap: int):
+    """decode_blocks(emit_aux=True) output -> lane-major flat token
+    arrays (v, a1, a2 i32; nib i32). The nibble rows are unpacked by
+    broadcasting the 8 shifts over the packed [cap/8, G] rows and
+    re-interleaving with a major-dims-only transpose."""
+    G = out.shape[1]
+    vals = out[:cap]
+    a1 = out[cap:2 * cap]
+    a2 = out[2 * cap:3 * cap]
+    cpk = out[3 * cap:]
+    shifts = jnp.arange(UNROLL, dtype=jnp.uint32) * 4
+    nib3 = (cpk[None, :, :] >> shifts[:, None, None]) & 0xF
+    nib = jnp.transpose(nib3, (1, 0, 2)).reshape(cap, -1).T.reshape(-1)
+    flat = lambda x: jax.lax.bitcast_convert_type(
+        x, jnp.int32).T.reshape(-1)
+    return flat(vals), flat(a1), flat(a2), nib.astype(I32)
+
+
+@functools.partial(jax.jit, static_argnames=("num_nodes", "cap"))
+def parse_stats(out, num_nodes: int, cap: int):
+    """Pass 1: flat token arrays + per-node tables, n-scale after ONE
+    [P] cumsum and ONE P->2n scatter (node starts + node summaries).
+    Returns the token arrays, node tables, and a small meta vector
+    [ok, total_iv, total_cop, max_depth, hist64...] for one host
     fetch."""
     n = num_nodes
-    v, nib = _unpack(out, cap)
+    v, a1, a2, nib = _unpack4(out, cap)
     P = v.shape[0]
     pos = jnp.arange(P, dtype=I32)
-
     is_out = nib == 0
-    prev_nib = jnp.concatenate([jnp.full(1, 0xF, I32), nib[:-1]])
-    is_blk = nib == 3
-    # A node's block tokens are consecutive (grammar: bc then bc x blk),
-    # and runs of different nodes are always separated by outd/ref/bc
-    # tokens, so "not the node's first block" == previous token is a
-    # block. First block's length is v, later blocks v+1
-    # (native/src/bvgraph.hpp read_successors).
-    b = v + (is_blk & (prev_nib == 3)).astype(I32)
-    is_il = nib == 6
-    is_fr = nib == 7
+    is_sum = nib == 9
 
-    # One stacked cumsum carries every independent per-token channel
-    # (stacking is free: cumsum over [C, P] costs the same as over [P],
-    # tools/probe_prims2.py); per-node sums then need ONE [C, n+1]
-    # gather at the node starts instead of 2 gathers per channel.
-    ch = jnp.stack([
-        is_out.astype(I32),                      # 0: node counter
-        is_blk.astype(I32),                      # 1: block counter
-        jnp.where(is_blk, b, 0),                 # 2: block length sum
-        jnp.where(is_il, v + min_interval, 0),   # 3: interval elements
-        (is_fr | (nib == 8)).astype(I32),        # 4: residual count
-    ])
-    cs = _cumsum(ch, axis=-1)
-    nd = jnp.clip(cs[0] - 1, 0, n - 1)
+    nd = jnp.clip(_cumsum(is_out.astype(I32)) - 1, 0, n - 1)
+    # one scatter finds both per-node anchor positions
+    idx = jnp.where(is_out, nd, jnp.where(is_sum, n + nd, 2 * n))
+    spp = jnp.full((2 * n + 1,), P - 1, I32).at[idx].set(pos, mode="drop")
+    sp, ssp = spp[:n], spp[n:2 * n]
 
-    # Node start positions: position of each node's outdegree token.
-    # Exactly one outdegree token per node, so a plain set-scatter works
-    # (measured ~3x cheaper than a min-scatter on v5e).
-    sp = jnp.full((n,), P - 1, I32).at[
-        jnp.where(is_out, nd, n)].set(pos, mode="drop")
-    spx = jnp.concatenate([sp, jnp.full((1,), P, I32)])
-
-    # exclusive stacked cumsum at the n+1 node boundaries; adjacent
-    # differences are the per-node sums
-    csb = jnp.where((spx > 0)[None, :],
-                    cs[:, jnp.maximum(spx - 1, 0)], 0)
-    nsums = csb[:, 1:] - csb[:, :-1]
-    blocks_sum = nsums[2]
-    niv_tot = nsums[3]
-    nres = nsums[4]
-
-    # Fields at fixed offsets from the node start (guarded by padding).
-    vxp = jnp.concatenate([v, jnp.zeros(3, I32)])
-    nibp = jnp.concatenate([nib, jnp.full(3, 0xF, I32)])
-    d = vxp[sp]
-    ref = jnp.where(nibp[sp + 1] == 1, vxp[sp + 1], 0)
-    has_ref = ref > 0
-    bc = jnp.where(has_ref & (nibp[sp + 2] == 2), vxp[sp + 2], 0)
-
-    # Even-indexed (copy) blocks: block index within the node = block
-    # counter minus the node's base, broadcast via one delta scatter +
-    # one cumsum (the bc token sits at sp+2, so the inclusive block
-    # count there is the node's exclusive base).
-    blk_base_n = cs[1][jnp.minimum(sp + 2, P - 1)]
-    base_bcast = _bcast_runs(P, sp, blk_base_n, jnp.ones(n, bool))
-    blk_even = is_blk & (((cs[1] - 1 - base_bcast) & 1) == 0)
-    cs_even = _excl(_cumsum(jnp.where(blk_even, b, 0)))
-    ncop_blocks = cs_even[spx[1:]] - cs_even[spx[:-1]]
-
+    vx = jnp.concatenate([v, jnp.zeros(3, I32)])
+    nibx = jnp.concatenate([nib, jnp.full(3, 0xF, I32)])
+    a1x = jnp.concatenate([a1, jnp.zeros(3, I32)])
+    a2x = jnp.concatenate([a2, jnp.zeros(3, I32)])
+    d = vx[sp]
+    ref = jnp.where(nibx[sp + 1] == 1, vx[sp + 1], 0)
     parent = jnp.clip(jnp.arange(n, dtype=I32) - ref, 0, n - 1)
-    d_ref = jnp.where(has_ref, d[parent], 0)
-    tail_len = jnp.where(has_ref & (bc % 2 == 0), d_ref - blocks_sum, 0)
-    ncop = ncop_blocks + tail_len
-
-    ok = jnp.all(ncop + niv_tot + nres == d)
+    has_ref = ref > 0
+    ncop = vx[ssp]
+    niv = a1x[ssp]
+    tail = a2x[ssp]
     offsets = jnp.concatenate([jnp.zeros(1, I32), _cumsum(d)])
+    ok = jnp.all(ncop + niv <= d) & jnp.all(tail <= ncop)
 
     # Reference-chain depth: parent depth + 1, resolved as a wavefront
     # (n-scale; depth(parent) == depth(child) - 1 by construction).
@@ -261,176 +200,15 @@ def parse_stats(out, num_nodes: int, cap: int, min_interval: int):
         pd = dep[parent]
         return jnp.where((dep < 0) & (pd == k), k + 1, dep), k + 1
 
-    depth, _ = jax.lax.while_loop(dcond, dbody, (depth0, jnp.zeros((), I32)))
-
+    depth, _ = jax.lax.while_loop(dcond, dbody,
+                                  (depth0, jnp.zeros((), I32)))
     hist = jnp.zeros(64, I32).at[jnp.clip(depth, 0, 63)].add(ncop)
     meta = jnp.concatenate([
-        jnp.stack([ok.astype(I32), jnp.sum(niv_tot), jnp.sum(ncop),
+        jnp.stack([ok.astype(I32), jnp.sum(niv), jnp.sum(ncop),
                    jnp.max(depth)]), hist])
-    return dict(v=v, nib=nib, sp=sp, d=d, offsets=offsets, ncop=ncop,
-                niv_tot=niv_tot, parent=parent, depth=depth,
-                blocks_sum=blocks_sum, tail_len=tail_len, bc=bc,
-                has_ref=has_ref, meta=meta)
-
-
-@functools.partial(jax.jit, static_argnames=("Epad", "Ecap", "Ccap",
-                                             "min_interval"))
-def place(v, nib, sp, offsets, ncop, niv_tot, tail_len, depth,
-          Epad: int, Ecap: int, Ccap: int, min_interval: int):
-    """Pass 2: the combined placement scatter. Residual values land at
-    their final grouped slots in succs[:Epad]; interval/copy run channels
-    (buf[Epad:]) record each run's VALUE, packed (val<<1)|1 so a
-    last-valid scan can broadcast it to the run's elements. The copy
-    channel is laid out in (depth, node) grouped element order, so depth
-    rounds later slice it directly.
-
-    All per-token running sums ride ONE stacked [C, P] cumsum; the
-    per-node resets and per-node broadcasts ride ONE stacked delta
-    scatter at the node starts plus a second stacked cumsum (stacking is
-    free on v5e, tools/probe_prims2.py; the per-channel scatter/cumsum
-    version cost ~45 ms more at cnr-2000 scale)."""
-    P = v.shape[0]
-    n = sp.shape[0]
-    prev_nib = jnp.concatenate([jnp.full(1, 0xF, I32), nib[:-1]])
-    prev_v = jnp.concatenate([jnp.zeros(1, I32), v[:-1]])
-    is_out = nib == 0
-    is_blk = nib == 3
-    b = v + (is_blk & (prev_nib == 3)).astype(I32)
-    is_fr = nib == 7
-    m = is_fr | (nib == 8)
-    is_il = nib == 6
-    ilen = v + min_interval
-    live_il = is_il & (ilen > 0)
-    is_is = nib == 5
-    first_iv = is_is & (prev_nib == 4)
-
-    # ---- stage 1: stacked global cumsums ----
-    ch = jnp.stack([
-        is_out.astype(I32),                                   # 0 -> nd
-        jnp.where(m, jnp.where(is_fr, _nat2int(v), v + 1), 0),  # 1 res
-        m.astype(I32),                                        # 2 res rank
-        jnp.where(is_is, jnp.where(                           # 3 lefts
-            first_iv, _nat2int(v), v + 1 + prev_v + min_interval), 0),
-        jnp.where(is_blk, b, 0),                              # 4 blk runs
-        jnp.where(is_il, ilen, 0),                            # 5 cum_iv
-        is_blk.astype(I32),                                   # 6 blk index
-    ])
-    cs = _cumsum(ch, axis=-1)
-    nd = jnp.clip(cs[0] - 1, 0, n - 1)
-
-    # ---- stage 2: per-node resets (channels 1,2,3,4,6) and per-node
-    # broadcasts, one stacked scatter + cumsum ----
-    _, cb = _depth_order(depth, ncop)
-    ncb = _excl(_cumsum(ncop))[:n]
-    tail_b = _excl(_cumsum(tail_len))[:n]
-    RESET = (1, 2, 3, 4, 6)
-    base_n = jnp.where((sp > 0)[None, :],
-                       cs[jnp.array(RESET)][:, jnp.maximum(sp - 1, 0)], 0)
-    bvals = jnp.concatenate([
-        base_n,
-        (offsets[:n] + ncop + niv_tot)[None, :],   # 5: dest_r base
-        tail_b[None, :],                           # 6: tail_bb
-        (cb - ncb)[None, :],                       # 7: depth-group shift
-    ])                                             # [8, n]
-    deltas = bvals - jnp.concatenate(
-        [jnp.zeros((8, 1), I32), bvals[:, :-1]], axis=1)
-    bb = _cumsum(jnp.zeros((8, P), I32).at[:, sp].add(deltas), axis=-1)
-
-    res_val = cs[1] - bb[0] + nd
-    rank = cs[2] - bb[1] - 1
-    dest_r = bb[5] + rank
-    lefts = cs[3] - bb[2] + nd
-    lefts_prev = jnp.concatenate([jnp.zeros(1, I32), lefts[:-1]])
-    cum_excl_iv = cs[5] - jnp.where(is_il, ilen, 0)
-    # element t of the run at this token has value adj_val + t
-    adj_val = lefts_prev - cum_excl_iv
-
-    # ---- copy runs (even-indexed blocks with positive length; the
-    # reference-tail run is n-scale and handled in copy_fields), channel
-    # in (depth, node) grouped element order ----
-    blk_idx = cs[6] - bb[4] - 1                    # 0-based within node
-    own = is_blk & (blk_idx % 2 == 0) & (b > 0)
-    cop_own = jnp.where(own, b, 0)
-    cum_own = _cumsum(cop_own)                  # own elements only
-    cum_excl_own = cum_own - cop_own
-    # node-order element index accounts for tails of earlier nodes;
-    # depth-grouped index shifts each node's elements from its
-    # node-order base to its (depth, node)-order base
-    q_start = cum_excl_own + bb[6] + bb[7]
-    # start of this block within the REFERENCED list: local running sum
-    # of block lengths before this token. Element at depth-order index q
-    # of the run starting at q0 copies parent slot blk_run_start +
-    # (q - q0) = Bq + q with the per-run constant Bq below.
-    blk_run_start = cs[4] - bb[3] - jnp.where(is_blk, b, 0)
-    Bq = blk_run_start - q_start
-
-    # ---- the combined scatter: three disjoint token classes, three
-    # disjoint index regions; channels carry (value<<1)|1 ----
-    BIG = Epad + Ecap + Ccap
-    idx = jnp.where(m, dest_r,
-          jnp.where(live_il, Epad + cum_excl_iv,
-          jnp.where(own, Epad + Ecap + q_start, BIG)))
-    val = jnp.where(m, res_val,
-          jnp.where(live_il, (adj_val << 1) | 1, (Bq << 1) | 1))
-    buf = jnp.zeros(BIG, I32).at[idx].set(val, mode="drop")
-    return buf
-
-
-@functools.partial(jax.jit, static_argnames=("Epad", "Ecap"))
-def expand_intervals(succs, ch_iv, offsets, ncop, niv_tot, total_iv,
-                     Epad: int, Ecap: int):
-    """Interval expansion: last-valid scan broadcasts each run's packed
-    adj_val to its elements, one Ecap scatter into succs. Element t's
-    value is adj_val + t (adj_val already folds in the run's global
-    element base)."""
-    n = ncop.shape[0]
-    t = jnp.arange(Ecap, dtype=I32)
-    adj_el = _ffill_valid(ch_iv) >> 1
-    node_iv_base = _excl(_cumsum(niv_tot))[:n]
-    # dest = offsets[node] + ncop[node] + (t - node_iv_base[node])
-    dest_ff = _bcast_runs(Ecap, node_iv_base,
-                          offsets[:n] + ncop - node_iv_base, niv_tot > 0)
-    live = t < total_iv
-    return succs.at[jnp.where(live, dest_ff + t, Epad)].set(
-        adj_el + t, mode="drop")
-
-
-def copy_fields(ch_own, offsets, ncop, tail_len, blocks_sum, parent, depth,
-                total_cop, Ccap: int, Epad: int):
-    """Per-copy-element (slot, src) in (depth, node) grouped order — the
-    order `place` seeded the channel in. src indexes the parent's FINAL
-    sorted list; slot is the element's grouped position in succs. One
-    last-valid scan + n-scale delta broadcasts; NO element gathers."""
-    n = ncop.shape[0]
-    t = jnp.arange(Ccap, dtype=I32)
-    live = t < total_cop
-    Bq_el = _ffill_valid(ch_own) >> 1
-
-    _, cb = _depth_order(depth, ncop)
-    cmask = ncop > 0
-    par_off = offsets[parent]
-    # all four run broadcasts share (starts=cb, mask=cmask): one stacked
-    # delta scatter + one stacked cumsum instead of four of each
-    thr, par_el, pob_el, slot_base = _bcast_runs_multi(
-        Ccap, cb, [cb + ncop - tail_len, par_off, par_off + blocks_sum,
-                   offsets[:n] - cb], cmask)
-    # element is in the reference-tail run iff t >= tail element start
-    in_tail = t >= thr
-    src = jnp.where(in_tail, pob_el + (t - thr), par_el + Bq_el + t)
-    slot = jnp.where(live, slot_base + t, Epad)
-    src = jnp.where(live, jnp.clip(src, 0, Epad - 1), 0)
-    return slot, src
-
-
-@jax.jit
-def build_seg(offsets, succs):
-    """Segment id (owning node) per successor slot."""
-    Epad = succs.shape[0]
-    n = offsets.shape[0] - 1
-    bumps = jnp.zeros(Epad, I32).at[
-        jnp.where(offsets[1:n + 1] < Epad, offsets[1:n + 1], Epad)
-    ].add(1, mode="drop")
-    return _cumsum(bumps)
+    return dict(v=v, a1=a1, a2=a2, nib=nib, sp=sp, d=d, offsets=offsets,
+                ncop=ncop, niv=niv, tail=tail, parent=parent, depth=depth,
+                meta=meta)
 
 
 @jax.jit
@@ -451,34 +229,97 @@ def fill_slice(succs, F, slot_sl, src_sl, cnt):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "Epad", "Ecap", "Ccap", "min_interval", "hist_key"))
-def assemble(v, nib, sp, offsets, ncop, niv_tot, tail_len, blocks_sum,
-             parent, depth, total_iv, total_cop,
-             Epad: int, Ecap: int, Ccap: int, min_interval: int,
+    "Epad", "Ccap", "min_interval", "hist_key"))
+def assemble(v, a1, a2, nib, sp, d, offsets, ncop, niv, tail, parent,
+             depth, total_cop, Epad: int, Ccap: int, min_interval: int,
              hist_key: tuple):
-    """Pass 2 in ONE device program: placement scatter, interval
-    expansion, copy fields, and every depth-resolution round statically
-    unrolled (round counts come from hist_key, the per-depth copy counts
-    fetched with the pass-1 meta). Fusing the whole tail matters more
-    than any single stage on this platform: each jit dispatch costs
-    ~30 ms through the remote-device relay (tools/probe_parse.py), which
-    dwarfs the compute of most stages."""
-    buf = place(v, nib, sp, offsets, ncop, niv_tot, tail_len, depth,
-                Epad, Ecap, Ccap, min_interval)
-    succs = buf[:Epad]
-    if Ecap:
-        succs = expand_intervals(
-            succs, buf[Epad:Epad + Ecap], offsets, ncop, niv_tot,
-            total_iv, Epad, Ecap)
-    seg = build_seg(offsets, succs)
+    """Pass 2 in ONE device program: the combined run/element scatter,
+    the two last-valid scans, the copy worklist, and every
+    depth-resolution round statically unrolled (round counts from
+    hist_key). Returns (offsets, F sorted node-order CSR, succs grouped).
+
+    Fusing the whole tail matters: each jit dispatch costs ~30 ms
+    through the remote-device relay, which dwarfs most stages."""
+    P = v.shape[0]
+    n = sp.shape[0]
+    prev_nib = jnp.concatenate([jnp.full(1, 0xF, I32), nib[:-1]])
+    is_blk = nib == 3
+    b = v + (is_blk & (prev_nib == 3)).astype(I32)
+    is_is = nib == 5
+    is_res = (nib == 7) | (nib == 8)
+    is_sum = nib == 9
+
+    _, cb = _depth_order(depth, ncop)
+
+    # --- per-token broadcast of per-node tables: one [4, P] stacked
+    # delta scatter at the node-start positions + one stacked cumsum ---
+    bvals = jnp.stack([
+        offsets[:n],                              # 0: off_x
+        offsets[parent],                          # 1: off_par
+        offsets[jnp.minimum(parent + 1, n)],      # 2: off_par end
+        cb,                                       # 3: copy-channel base
+    ])
+    deltas = bvals - jnp.concatenate(
+        [jnp.zeros((4, 1), I32), bvals[:, :-1]], axis=1)
+    bb = _cumsum(jnp.zeros((4, P), I32).at[:, sp].add(deltas), axis=-1)
+    off_x, off_par, off_pend, cbx = bb[0], bb[1], bb[2], bb[3]
+
+    # --- the combined scatter: each token contributes at most ONE
+    # update; three disjoint regions (residual values into succs,
+    # interval-run seeds into chA, copy-run seeds into chC) ---
+    own = is_blk & ((a2 & 1) == 1) & (b > 0)       # copy blocks
+    tl = is_sum & (a2 > 0)                         # reference tails
+    qs_own = cbx + (a2 >> 1)
+    qs_tl = cbx + v - a2
+    BIG = 2 * Epad + Ccap
+    idx = jnp.where(is_res, off_x + a2,
+          jnp.where(is_is, Epad + off_x + a2,
+          jnp.where(own, 2 * Epad + qs_own,
+          jnp.where(tl, 2 * Epad + qs_tl, BIG))))
+    val = jnp.where(is_res, a1,
+          jnp.where(is_is, ((a1 - (off_x + a2)) << 1) | 1,
+          jnp.where(own, ((off_par + a1 - qs_own) << 1) | 1,
+                    ((off_pend - a2 - qs_tl) << 1) | 1)))
+    buf = jnp.zeros(BIG + 1, I32).at[idx].set(val, mode="drop")
+
+    # --- run-value broadcast: one stacked last-valid scan ---
+    N = max(Epad, Ccap)
+    ch = jnp.zeros((2, N), I32)
+    ch = ch.at[0, :Epad].set(buf[Epad:2 * Epad])
+    ch = ch.at[1, :Ccap].set(buf[2 * Epad:2 * Epad + Ccap])
+    ff = _ffill_valid(ch)
+
+    # --- element-space node tables over Epad: one stacked scatter at
+    # the node element bases + one stacked cumsum ---
+    evals = jnp.stack([
+        jnp.arange(n, dtype=I32),                 # seg id
+        offsets[:n] + ncop,                       # copy/interval boundary
+        offsets[:n] + ncop + niv,                 # interval/residual bnd
+    ])
+    edeltas = evals - jnp.concatenate(
+        [jnp.zeros((3, 1), I32), evals[:, :-1]], axis=1)
+    st = jnp.minimum(offsets[:n], Epad)
+    eb = _cumsum(jnp.zeros((3, Epad), I32).at[:, st].add(
+        edeltas, mode="drop"), axis=-1)
+    g = jnp.arange(Epad, dtype=I32)
+    # padding elements (g >= E) must sort AFTER every real segment
+    seg = jnp.where(g >= offsets[n], n, eb[0])
+    bnd_ci, bnd_ir = eb[1], eb[2]
+    is_iv_el = (g >= bnd_ci) & (g < bnd_ir)
+    succs = jnp.where(is_iv_el, (ff[0, :Epad] >> 1) + g, buf[:Epad])
+
     F = sort_segments(seg, succs)
     if hist_key:
-        slot_s, src_s = copy_fields(
-            buf[Epad + Ecap:], offsets, ncop, tail_len, blocks_sum,
-            parent, depth, total_cop, Ccap, Epad)
-        # pad so static-size depth slices never clamp
-        slot_p = jnp.concatenate([slot_s, jnp.full(Ccap, Epad, I32)])
-        src_p = jnp.concatenate([src_s, jnp.zeros(Ccap, I32)])
+        # copy worklist in (depth, node) grouped element order
+        q = jnp.arange(Ccap, dtype=I32)
+        src = jnp.clip((ff[1, :Ccap] >> 1) + q, 0, Epad - 1)
+        slotb, = _bcast_runs_multi(Ccap, cb, [offsets[:n] - cb],
+                                   ncop > 0)
+        live = q < total_cop
+        slot = jnp.where(live, slotb + q, Epad)
+        src = jnp.where(live, src, 0)
+        slot_p = jnp.concatenate([slot, jnp.full(Ccap, Epad, I32)])
+        src_p = jnp.concatenate([src, jnp.zeros(Ccap, I32)])
         off = 0
         for cnt in hist_key:
             if cnt == 0:
@@ -488,33 +329,32 @@ def assemble(v, nib, sp, offsets, ncop, niv_tot, tail_len, blocks_sum,
                                src_p[off:off + M], jnp.int32(cnt))
             F = sort_segments(seg, succs)
             off += cnt
-    return offsets, F, succs
+    return offsets, F, succs, seg
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "num_nodes", "cap", "min_interval", "Epad", "Ecap", "Ccap",
-    "hist_key"))
+    "num_nodes", "cap", "min_interval", "Epad", "Ccap", "hist_key"))
 def parse_and_assemble(out, num_nodes: int, cap: int, min_interval: int,
-                       Epad: int, Ecap: int, Ccap: int, hist_key: tuple):
+                       Epad: int, Ccap: int, hist_key: tuple):
     """The whole reconstruction as ONE device program (pass 1 + pass 2).
-    Usable once the meta vector is known (cached from a prior call on the
-    same artifact): every jit dispatch costs a ~30 ms relay round trip in
-    this environment, so the steady-state path must be a single dispatch.
-    Returns (offsets, F, meta) — the caller verifies meta against its
-    cache after the fact."""
-    st = parse_stats(out, num_nodes, cap, min_interval)
+    Usable once the meta vector is known (cached from a prior call on
+    the same artifact): every jit dispatch costs a ~30 ms relay round
+    trip in this environment, so the steady-state path must be a single
+    dispatch. Returns (offsets, F, meta) — the caller verifies meta
+    against its cache after the fact."""
+    st = parse_stats(out, num_nodes, cap)
     meta = st["meta"]
-    offsets, F, _ = assemble(
-        st["v"], st["nib"], st["sp"], st["offsets"], st["ncop"],
-        st["niv_tot"], st["tail_len"], st["blocks_sum"], st["parent"],
-        st["depth"], meta[1], meta[2], Epad, Ecap, Ccap, min_interval,
-        hist_key)
+    offsets, F, _, _ = assemble(
+        st["v"], st["a1"], st["a2"], st["nib"], st["sp"], st["d"],
+        st["offsets"], st["ncop"], st["niv"], st["tail"], st["parent"],
+        st["depth"], meta[2], Epad, Ccap, min_interval, hist_key)
     return offsets, F, meta
 
 
 def reconstruct_device(out, num_nodes: int, num_arcs: int, cap: int,
-                      min_interval: int, meta_cache: dict | None = None):
-    """Full-graph device reconstruction from decode_blocks output.
+                       min_interval: int, meta_cache: dict | None = None):
+    """Full-graph device reconstruction from decode_blocks(emit_aux=True)
+    output.
 
     Returns (offsets [n+1] i32 device, succs [Epad] i32 device, E) with
     the successor lists bit-exact in succs[:E]; raises on inconsistent
@@ -523,11 +363,11 @@ def reconstruct_device(out, num_nodes: int, num_arcs: int, cap: int,
 
     `meta_cache` (optional, mutated): the pass-1 meta vector is the only
     value the host needs before it can shape pass 2, so fetching it is
-    the pipeline's one blocking sync. A caller decoding the same artifact
-    repeatedly passes a dict; after the first call the cached meta shapes
-    pass 2 immediately (decode -> parse -> assemble queue back-to-back on
-    device) and the meta fetched afterwards — overlapping assemble's
-    compute — only verifies the cache.
+    the pipeline's one blocking sync. A caller decoding the same
+    artifact repeatedly passes a dict; after the first call the cached
+    meta shapes pass 2 immediately (decode -> parse -> assemble queue
+    back-to-back on device) and the meta fetched afterwards — overlapping
+    assemble's compute — only verifies the cache.
 
     Reference capability: webgraph BvGraph successor machinery
     (SURVEY.md section 2.2)."""
@@ -536,13 +376,11 @@ def reconstruct_device(out, num_nodes: int, num_arcs: int, cap: int,
 
     if cached is not None and int(cached[3]) < 63:
         # steady state: ONE dispatch for the whole reconstruction
-        total_iv, total_cop, max_depth = (int(cached[1]), int(cached[2]),
-                                          int(cached[3]))
+        total_cop, max_depth = int(cached[2]), int(cached[3])
         hist_key = (tuple(int(c) for c in cached[4:4 + max_depth + 1][1:])
                     if total_cop and max_depth > 0 else ())
         offsets, F, meta_d = parse_and_assemble(
-            out, n, cap, min_interval, _quant(E + 1),
-            _quant(total_iv) if total_iv else 0, _quant(total_cop),
+            out, n, cap, min_interval, _quant(E + 1), _quant(total_cop),
             hist_key)
         if not np.array_equal(np.asarray(meta_d), cached):
             meta_cache.pop("meta", None)
@@ -550,49 +388,75 @@ def reconstruct_device(out, num_nodes: int, num_arcs: int, cap: int,
                 "token stream changed under a cached reconstruction meta")
         return offsets, F, E
 
-    st = parse_stats(out, n, cap, min_interval)
+    st = parse_stats(out, n, cap)
     meta = np.asarray(st["meta"])
     if not bool(meta[0]):
         raise ValueError("token stream inconsistent")
     if meta_cache is not None:
         meta_cache["meta"] = meta
-    total_iv, total_cop, max_depth = int(meta[1]), int(meta[2]), int(meta[3])
+    total_cop, max_depth = int(meta[2]), int(meta[3])
     hist = meta[4:]
 
     Epad = _quant(E + 1)
-    Ecap = _quant(total_iv) if total_iv else 0
     Ccap = _quant(total_cop)
-    args = (st["v"], st["nib"], st["sp"], st["offsets"], st["ncop"],
-            st["niv_tot"], st["tail_len"], st["blocks_sum"], st["parent"],
-            st["depth"], jnp.int32(total_iv), jnp.int32(total_cop))
+    args = (st["v"], st["a1"], st["a2"], st["nib"], st["sp"], st["d"],
+            st["offsets"], st["ncop"], st["niv"], st["tail"], st["parent"],
+            st["depth"], jnp.int32(total_cop))
     if not (total_cop and max_depth > 0):
-        offsets, F, _ = assemble(*args, Epad, Ecap, Ccap, min_interval, ())
+        offsets, F, _, _ = assemble(*args, Epad, Ccap, min_interval, ())
         return offsets, F, E
     if max_depth < 63:
         hist_key = tuple(int(c) for c in hist[1:max_depth + 1])
-        offsets, F, _ = assemble(*args, Epad, Ecap, Ccap, min_interval,
-                                 hist_key)
+        offsets, F, _, _ = assemble(*args, Epad, Ccap, min_interval,
+                                    hist_key)
         return offsets, F, E
 
-    # depth histogram saturates at 64 buckets (hc-style chains): resolve
-    # with unsliced masked rounds, one dispatch per depth. The copy
-    # fields are (depth, node)-grouped but the slice bounds are unknown
-    # beyond bucket 63, so rounds mask on the element's chain depth.
-    offsets, F, succs = assemble(*args, Epad, Ecap, Ccap, min_interval, ())
-    buf = place(st["v"], st["nib"], st["sp"], st["offsets"], st["ncop"],
-                st["niv_tot"], st["tail_len"], st["depth"],
-                Epad, Ecap, Ccap, min_interval)
-    seg = build_seg(st["offsets"], succs)
-    slot_s, src_s = jax.jit(
-        copy_fields, static_argnames=("Ccap", "Epad"))(
-        buf[Epad + Ecap:], st["offsets"], st["ncop"], st["tail_len"],
-        st["blocks_sum"], st["parent"], st["depth"], jnp.int32(total_cop),
-        Ccap=Ccap, Epad=Epad)
+    # Depth histogram saturates at 64 buckets (hc-style unbounded
+    # chains): resolve with masked rounds over the full worklist, one
+    # dispatch per depth (correctness path; hc graphs trade decode speed
+    # for size on the reference too).
+    offsets, F, succs, seg = assemble(*args, Epad, Ccap, min_interval, ())
+    q = jnp.arange(Ccap, dtype=I32)
     _, cb = _depth_order(st["depth"], st["ncop"])
-    dep_el = _bcast_runs(Ccap, cb, st["depth"], st["ncop"] > 0)
-    for k in range(1, max_depth + 1):
+    slotb, dep_el = _bcast_runs_multi(
+        Ccap, cb, [st["offsets"][:n] - cb, st["depth"]], st["ncop"] > 0)
+    live = q < total_cop
+    slot_all = jnp.where(live, slotb + q, Epad)
+    # rebuild the packed src channel exactly as assemble does
+    srcv = _src_channel(st["v"], st["a1"], st["a2"], st["nib"], st["sp"],
+                        st["offsets"], st["parent"], st["depth"],
+                        st["ncop"], Ccap)
+    src_all = jnp.where(live, jnp.clip(srcv + q, 0, Epad - 1), 0)
+    for k in range(1, int(max_depth) + 1):
         take = dep_el == k
-        idxs = jnp.where(take, slot_s, Epad)
-        succs = succs.at[idxs].set(F[src_s], mode="drop")
+        idxs = jnp.where(take & live, slot_all, Epad)
+        succs = succs.at[idxs].set(F[src_all], mode="drop")
         F = sort_segments(seg, succs)
-    return st["offsets"], F, E
+    return offsets, F, E
+
+
+@functools.partial(jax.jit, static_argnames=("Ccap",))
+def _src_channel(v, a1, a2, nib, sp, offsets, parent, depth, ncop,
+                 Ccap: int):
+    """The copy-channel packed-src broadcast on its own (deep-chain
+    fallback path; assemble fuses the same logic inline)."""
+    P = v.shape[0]
+    n = sp.shape[0]
+    prev_nib = jnp.concatenate([jnp.full(1, 0xF, I32), nib[:-1]])
+    is_blk = nib == 3
+    b = v + (is_blk & (prev_nib == 3)).astype(I32)
+    is_sum = nib == 9
+    _, cb = _depth_order(depth, ncop)
+    bvals = jnp.stack([offsets[parent],
+                       offsets[jnp.minimum(parent + 1, n)], cb])
+    deltas = bvals - jnp.concatenate(
+        [jnp.zeros((3, 1), I32), bvals[:, :-1]], axis=1)
+    bb = _cumsum(jnp.zeros((3, P), I32).at[:, sp].add(deltas), axis=-1)
+    off_par, off_pend, cbx = bb[0], bb[1], bb[2]
+    own = is_blk & ((a2 & 1) == 1) & (b > 0)
+    tl = is_sum & (a2 > 0)
+    qs = jnp.where(own, cbx + (a2 >> 1), cbx + v - a2)
+    val = jnp.where(own, off_par + a1 - qs, off_pend - a2 - qs)
+    chC = jnp.zeros(Ccap + 1, I32).at[
+        jnp.where(own | tl, qs, Ccap)].set((val << 1) | 1, mode="drop")
+    return _ffill_valid(chC[:Ccap]) >> 1
