@@ -77,8 +77,11 @@ def main():
             out, _, _ = dec.decode_raw(L, cap, check=False, emit_aux=True)
             offsets, F, meta_d = parse_and_assemble(
                 out, n, cap, mi, _quant(E + 1), _quant(total_cop),
-                hist_key)
-            return offsets[:1]
+                hist_key, depth_iters=max(max_depth, 1))
+            # block on DATA-DEPENDENT outputs: offsets[:1] is the
+            # constant 0, which XLA folds — waiting on it returns before
+            # the program finishes (measured 0.5 ms/rep "e2e")
+            return offsets[-1:], F[-8:]
     elif mode == "serve":
         # random-access serving: device CSR built once (reported by the
         # e2e metric), then each rep gathers 2^20 random rows

@@ -34,8 +34,7 @@ def main():
     from webgraph_ans_tpu.ops.graph_decode import TpuGraphDecoder
     from webgraph_ans_tpu.ops import reconstruct_device as R
     from webgraph_ans_tpu.ops.reconstruct_device import (
-        I32, _bcast_runs_multi, _cumsum, _depth_order, _ffill_valid,
-        _quant, _unpack4, fill_slice, sort_segments)
+        I32, _cumsum_tok, _quant, _tok_gather, _unpack4)
 
     base = sys.argv[1] if len(sys.argv) > 1 else "/tmp/wgt_r3/cnr-2000-blk"
     g = ANSBvGraph.load(base)
@@ -60,20 +59,28 @@ def main():
         def f(out):
             v, a1, a2, nib = _unpack4(out, cap)
             if upto == "unpack":
-                return v[::4096], a2[::4096], nib[::4096]
-            P = v.shape[0]
-            pos = jnp.arange(P, dtype=I32)
+                return v[::256], a2[::256], nib[::256]
+            G = v.shape[1]
+            rows = jax.lax.broadcasted_iota(I32, (cap, G), 0)
+            cols = jax.lax.broadcasted_iota(I32, (cap, G), 1)
+            pos = cols * cap + rows
             is_out = nib == 0
             is_sum9 = nib == 9
-            nd = jnp.clip(_cumsum(is_out.astype(I32)) - 1, 0, n - 1)
+            nd = jnp.clip(_cumsum_tok(is_out.astype(I32)) - 1, 0, n - 1)
             if upto == "ndcumsum":
-                return nd[::4096]
+                return nd[::256]
             idx = jnp.where(is_out, nd,
                             jnp.where(is_sum9, n + nd, 2 * n))
-            spp = jnp.full((2 * n + 1,), P - 1, I32).at[idx].set(
+            spp = jnp.zeros((2 * n + 1,), I32).at[idx].set(
                 pos, mode="drop")
             if upto == "spscatter":
                 return spp[::64]
+            sp = spp[:n]
+            d = _tok_gather(v, sp, cap)
+            offsets = jnp.concatenate(
+                [jnp.zeros(1, I32), R._cumsum(d)])
+            if upto == "nodefields":
+                return d[::64], offsets[::64]
             st2 = R.parse_stats(out, n, cap)
             if upto == "parse":
                 return st2["meta"]
@@ -81,18 +88,17 @@ def main():
                 st2["v"], st2["a1"], st2["a2"], st2["nib"], st2["sp"],
                 st2["d"], st2["offsets"], st2["ncop"], st2["niv"],
                 st2["tail"], st2["parent"], st2["depth"], st2["meta"][2],
-                Epad, Ccap, mi, hist_key if upto == "full" else ())
-            if upto == "noround":
-                return off[:1], F[::4096]
+                Epad, Ccap, mi,
+                hist_key if upto == "full" else ())
             return off[:1], F[::4096]
 
         return f
 
     prev = 0.0
-    for nm in ("unpack", "ndcumsum", "spscatter", "parse", "noround",
-               "full"):
+    for nm in ("unpack", "ndcumsum", "spscatter", "nodefields", "parse",
+               "noround", "full"):
         ms = bench(stage(nm), out)
-        print(f"{nm:9s} cumulative {ms:7.1f}ms   marginal {ms - prev:+7.1f}ms",
+        print(f"{nm:10s} cumulative {ms:7.1f}ms   marginal {ms - prev:+7.1f}ms",
               flush=True)
         prev = ms
 

@@ -166,8 +166,18 @@ class TpuGraphDecoder:
             ends = lo + ((idx + 1) * span) // num_lanes
             starts, ends = self._union_encode_blocks(starts, ends, lo, hi)
         else:
-            # ascending cumulative stream usage within the range
-            consumed = ptrs[lo] - ptrs[lo:hi]
+            # ascending cumulative LOCKSTEP-STEP estimate within the
+            # range: stream words model the token count (words/token is
+            # stable per artifact), plus a per-node term — each node
+            # costs fixed steps (outdegree token + the aux summary) that
+            # consume almost no stream, so word-only balance starves
+            # small-node lanes and inflates the per-lane step cap.
+            # Integer key in eighth-words: 8*words + wpn8*node_index.
+            est_tokens = 2 * self.num_arcs + 3 * self.num_nodes
+            wpn8 = max(1, round(24 * len(self.graph.prelude.stream)
+                                / max(est_tokens, 1)))
+            consumed = ((ptrs[lo] - ptrs[lo:hi]) * 8
+                        + wpn8 * np.arange(span, dtype=np.int64))
             targets = (idx * consumed[-1]) // num_lanes
             starts = lo + np.searchsorted(consumed, targets, side="left")
             starts[0] = lo

@@ -136,72 +136,108 @@ def _depth_order(depth, ncop):
 
 
 def _unpack4(out, cap: int):
-    """decode_blocks(emit_aux=True) output -> lane-major flat token
-    arrays (v, a1, a2 i32; nib i32). The nibble rows are unpacked by
-    broadcasting the 8 shifts over the packed [cap/8, G] rows and
-    re-interleaving with a major-dims-only transpose."""
-    G = out.shape[1]
+    """decode_blocks(emit_aux=True) output -> STEP-MAJOR 2D token arrays
+    (v, a1, a2 [cap, G] i32; nib [cap, G] i32). Token order is
+    column-major (lane l's tokens run down column l); every P-scale op
+    downstream works directly on this layout — the lane-major flatten
+    relayouts (3 x 15 MB transposes + the nibble re-interleave, ~30 ms
+    at cnr scale) are gone entirely."""
     vals = out[:cap]
     a1 = out[cap:2 * cap]
     a2 = out[2 * cap:3 * cap]
     cpk = out[3 * cap:]
+    # nibble of step s lives in packed row s//8 at 4-bit slot s%8:
+    # repeat each packed row 8x along a new minor axis and shift
     shifts = jnp.arange(UNROLL, dtype=jnp.uint32) * 4
-    nib3 = (cpk[None, :, :] >> shifts[:, None, None]) & 0xF
-    nib = jnp.transpose(nib3, (1, 0, 2)).reshape(cap, -1).T.reshape(-1)
-    flat = lambda x: jax.lax.bitcast_convert_type(
-        x, jnp.int32).T.reshape(-1)
-    return flat(vals), flat(a1), flat(a2), nib.astype(I32)
+    nib = ((cpk[:, None, :] >> shifts[None, :, None]) & 0xF).reshape(
+        cap, -1)
+    b = lambda x: jax.lax.bitcast_convert_type(x, jnp.int32)
+    return b(vals), b(a1), b(a2), nib.astype(I32)
 
 
-@functools.partial(jax.jit, static_argnames=("num_nodes", "cap"))
-def parse_stats(out, num_nodes: int, cap: int):
-    """Pass 1: flat token arrays + per-node tables, n-scale after ONE
-    [P] cumsum and ONE P->2n scatter (node starts + node summaries).
-    Returns the token arrays, node tables, and a small meta vector
-    [ok, total_iv, total_cop, max_depth, hist64...] for one host
-    fetch."""
+def _cumsum_tok(x):
+    """Cumulative sum in TOKEN order (column-major) over [..., cap, G]
+    step-major arrays: per-column cumsum (short scan axis, no relayout)
+    + an exclusive carry of column totals. Equivalent to
+    flatten-transpose-cumsum without the 15 MB transposes."""
+    cs = jnp.cumsum(x, axis=-2)
+    tot = cs[..., -1, :]
+    carry = jnp.concatenate(
+        [jnp.zeros(tot.shape[:-1] + (1,), x.dtype),
+         _cumsum(tot, axis=-1)[..., :-1]], axis=-1)
+    return cs + carry[..., None, :]
+
+
+def _tok_gather(x2d, m, cap: int):
+    """x2d[m % cap, m // cap] for lane-major flat token indices m (the
+    index domain sp/ssp live in), as ONE flat gather — step-major
+    reshape is free."""
+    G = x2d.shape[1]
+    return x2d.reshape(-1)[(m % cap) * G + m // cap]
+
+
+@functools.partial(jax.jit, static_argnames=("num_nodes", "cap",
+                                             "depth_iters"))
+def parse_stats(out, num_nodes: int, cap: int, depth_iters: int = 0):
+    """Pass 1: step-major token arrays + per-node tables, n-scale after
+    ONE token-order cumsum and ONE P->2n scatter (node starts + node
+    summaries). Returns the token arrays, node tables, and a small meta
+    vector [ok, total_iv, total_cop, max_depth, hist64...] for one host
+    fetch.
+
+    depth_iters > 0 statically unrolls the reference-chain wavefront to
+    that many rounds (the cached-meta steady path passes the known
+    max_depth; a dynamic while_loop costs ~5 ms/iteration of fixed
+    overhead on this platform). Unresolved chains then surface as
+    ok=0 in the meta vector, which the caller turns into a cache miss."""
     n = num_nodes
     v, a1, a2, nib = _unpack4(out, cap)
-    P = v.shape[0]
-    pos = jnp.arange(P, dtype=I32)
+    G = v.shape[1]
+    rows = jax.lax.broadcasted_iota(I32, (cap, G), 0)
+    cols = jax.lax.broadcasted_iota(I32, (cap, G), 1)
+    pos = cols * cap + rows                      # lane-major flat index
     is_out = nib == 0
     is_sum = nib == 9
 
-    nd = jnp.clip(_cumsum(is_out.astype(I32)) - 1, 0, n - 1)
+    nd = jnp.clip(_cumsum_tok(is_out.astype(I32)) - 1, 0, n - 1)
     # one scatter finds both per-node anchor positions
     idx = jnp.where(is_out, nd, jnp.where(is_sum, n + nd, 2 * n))
-    spp = jnp.full((2 * n + 1,), P - 1, I32).at[idx].set(pos, mode="drop")
+    spp = jnp.full((2 * n + 1,), 0, I32).at[idx].set(pos, mode="drop")
     sp, ssp = spp[:n], spp[n:2 * n]
 
-    vx = jnp.concatenate([v, jnp.zeros(3, I32)])
-    nibx = jnp.concatenate([nib, jnp.full(3, 0xF, I32)])
-    a1x = jnp.concatenate([a1, jnp.zeros(3, I32)])
-    a2x = jnp.concatenate([a2, jnp.zeros(3, I32)])
-    d = vx[sp]
-    ref = jnp.where(nibx[sp + 1] == 1, vx[sp + 1], 0)
+    d = _tok_gather(v, sp, cap)
+    ref = jnp.where(_tok_gather(nib, sp + 1, cap) == 1,
+                    _tok_gather(v, sp + 1, cap), 0)
     parent = jnp.clip(jnp.arange(n, dtype=I32) - ref, 0, n - 1)
     has_ref = ref > 0
-    ncop = vx[ssp]
-    niv = a1x[ssp]
-    tail = a2x[ssp]
+    ncop = _tok_gather(v, ssp, cap)
+    niv = _tok_gather(a1, ssp, cap)
+    tail = _tok_gather(a2, ssp, cap)
     offsets = jnp.concatenate([jnp.zeros(1, I32), _cumsum(d)])
     ok = jnp.all(ncop + niv <= d) & jnp.all(tail <= ncop)
 
     # Reference-chain depth: parent depth + 1, resolved as a wavefront
     # (n-scale; depth(parent) == depth(child) - 1 by construction).
     depth0 = jnp.where(has_ref, -1, 0)
+    if depth_iters > 0:
+        depth = depth0
+        for k in range(depth_iters):
+            pd = depth[parent]
+            depth = jnp.where((depth < 0) & (pd == k), k + 1, depth)
+        ok = ok & jnp.all(depth >= 0)
+        depth = jnp.maximum(depth, 0)
+    else:
+        def dcond(carry):
+            dep, k = carry
+            return jnp.any(dep < 0) & (k < n)
 
-    def dcond(carry):
-        dep, k = carry
-        return jnp.any(dep < 0) & (k < n)
+        def dbody(carry):
+            dep, k = carry
+            pd = dep[parent]
+            return jnp.where((dep < 0) & (pd == k), k + 1, dep), k + 1
 
-    def dbody(carry):
-        dep, k = carry
-        pd = dep[parent]
-        return jnp.where((dep < 0) & (pd == k), k + 1, dep), k + 1
-
-    depth, _ = jax.lax.while_loop(dcond, dbody,
-                                  (depth0, jnp.zeros((), I32)))
+        depth, _ = jax.lax.while_loop(dcond, dbody,
+                                      (depth0, jnp.zeros((), I32)))
     hist = jnp.zeros(64, I32).at[jnp.clip(depth, 0, 63)].add(ncop)
     meta = jnp.concatenate([
         jnp.stack([ok.astype(I32), jnp.sum(niv), jnp.sum(ncop),
@@ -236,13 +272,19 @@ def assemble(v, a1, a2, nib, sp, d, offsets, ncop, niv, tail, parent,
     """Pass 2 in ONE device program: the combined run/element scatter,
     the two last-valid scans, the copy worklist, and every
     depth-resolution round statically unrolled (round counts from
-    hist_key). Returns (offsets, F sorted node-order CSR, succs grouped).
+    hist_key). Token arrays are STEP-MAJOR 2D (see _unpack4). Returns
+    (offsets, F sorted node-order CSR, succs grouped, seg).
 
     Fusing the whole tail matters: each jit dispatch costs ~30 ms
     through the remote-device relay, which dwarfs most stages."""
-    P = v.shape[0]
+    cap, G = v.shape
     n = sp.shape[0]
-    prev_nib = jnp.concatenate([jnp.full(1, 0xF, I32), nib[:-1]])
+    # previous token in column-major order: shift down one row, column
+    # heads take the previous column's last row
+    prev_nib = jnp.concatenate([
+        jnp.concatenate([jnp.full((1, 1), 0xF, I32), nib[-1:, :-1]],
+                        axis=1),
+        nib[:-1, :]], axis=0)
     is_blk = nib == 3
     b = v + (is_blk & (prev_nib == 3)).astype(I32)
     is_is = nib == 5
@@ -251,8 +293,9 @@ def assemble(v, a1, a2, nib, sp, d, offsets, ncop, niv, tail, parent,
 
     _, cb = _depth_order(depth, ncop)
 
-    # --- per-token broadcast of per-node tables: one [4, P] stacked
-    # delta scatter at the node-start positions + one stacked cumsum ---
+    # --- per-token broadcast of per-node tables: one [4, cap, G]
+    # stacked delta scatter at the node-start positions + one stacked
+    # token-order cumsum ---
     bvals = jnp.stack([
         offsets[:n],                              # 0: off_x
         offsets[parent],                          # 1: off_par
@@ -261,7 +304,10 @@ def assemble(v, a1, a2, nib, sp, d, offsets, ncop, niv, tail, parent,
     ])
     deltas = bvals - jnp.concatenate(
         [jnp.zeros((4, 1), I32), bvals[:, :-1]], axis=1)
-    bb = _cumsum(jnp.zeros((4, P), I32).at[:, sp].add(deltas), axis=-1)
+    # flat step-major scatter index (single-axis scatters lower better)
+    spf = (sp % cap) * G + sp // cap
+    bb = _cumsum_tok(jnp.zeros((4, cap * G), I32).at[:, spf].add(
+        deltas).reshape(4, cap, G))
     off_x, off_par, off_pend, cbx = bb[0], bb[1], bb[2], bb[3]
 
     # --- the combined scatter: each token contributes at most ONE
@@ -333,16 +379,19 @@ def assemble(v, a1, a2, nib, sp, d, offsets, ncop, niv, tail, parent,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "num_nodes", "cap", "min_interval", "Epad", "Ccap", "hist_key"))
+    "num_nodes", "cap", "min_interval", "Epad", "Ccap", "hist_key",
+    "depth_iters"))
 def parse_and_assemble(out, num_nodes: int, cap: int, min_interval: int,
-                       Epad: int, Ccap: int, hist_key: tuple):
+                       Epad: int, Ccap: int, hist_key: tuple,
+                       depth_iters: int = 0):
     """The whole reconstruction as ONE device program (pass 1 + pass 2).
     Usable once the meta vector is known (cached from a prior call on
     the same artifact): every jit dispatch costs a ~30 ms relay round
     trip in this environment, so the steady-state path must be a single
     dispatch. Returns (offsets, F, meta) — the caller verifies meta
-    against its cache after the fact."""
-    st = parse_stats(out, num_nodes, cap)
+    against its cache after the fact. depth_iters: the known max chain
+    depth (statically unrolls the wavefront; see parse_stats)."""
+    st = parse_stats(out, num_nodes, cap, depth_iters=depth_iters)
     meta = st["meta"]
     offsets, F, _, _ = assemble(
         st["v"], st["a1"], st["a2"], st["nib"], st["sp"], st["d"],
@@ -381,7 +430,7 @@ def reconstruct_device(out, num_nodes: int, num_arcs: int, cap: int,
                     if total_cop and max_depth > 0 else ())
         offsets, F, meta_d = parse_and_assemble(
             out, n, cap, min_interval, _quant(E + 1), _quant(total_cop),
-            hist_key)
+            hist_key, depth_iters=max(max_depth, 1))
         if not np.array_equal(np.asarray(meta_d), cached):
             meta_cache.pop("meta", None)
             raise ValueError(
@@ -439,10 +488,14 @@ def reconstruct_device(out, num_nodes: int, num_arcs: int, cap: int,
 def _src_channel(v, a1, a2, nib, sp, offsets, parent, depth, ncop,
                  Ccap: int):
     """The copy-channel packed-src broadcast on its own (deep-chain
-    fallback path; assemble fuses the same logic inline)."""
-    P = v.shape[0]
+    fallback path; assemble fuses the same logic inline). Token arrays
+    are step-major 2D."""
+    cap, G = v.shape
     n = sp.shape[0]
-    prev_nib = jnp.concatenate([jnp.full(1, 0xF, I32), nib[:-1]])
+    prev_nib = jnp.concatenate([
+        jnp.concatenate([jnp.full((1, 1), 0xF, I32), nib[-1:, :-1]],
+                        axis=1),
+        nib[:-1, :]], axis=0)
     is_blk = nib == 3
     b = v + (is_blk & (prev_nib == 3)).astype(I32)
     is_sum = nib == 9
@@ -451,7 +504,9 @@ def _src_channel(v, a1, a2, nib, sp, offsets, parent, depth, ncop,
                        offsets[jnp.minimum(parent + 1, n)], cb])
     deltas = bvals - jnp.concatenate(
         [jnp.zeros((3, 1), I32), bvals[:, :-1]], axis=1)
-    bb = _cumsum(jnp.zeros((3, P), I32).at[:, sp].add(deltas), axis=-1)
+    spf = (sp % cap) * G + sp // cap
+    bb = _cumsum_tok(jnp.zeros((3, cap * G), I32).at[:, spf].add(
+        deltas).reshape(3, cap, G))
     off_par, off_pend, cbx = bb[0], bb[1], bb[2]
     own = is_blk & ((a2 & 1) == 1) & (b > 0)
     tl = is_sum & (a2 > 0)
