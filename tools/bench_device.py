@@ -64,7 +64,7 @@ def main():
         # steady-state reconstruction needs the meta vector for static
         # shapes; the parent passes it (it verified bit-exactness itself)
         from webgraph_ans_tpu.ops.reconstruct_device import (
-            _quant, parse_and_assemble)
+            _quant, parse_and_assemble_auto as parse_and_assemble)
         meta = np.array(json.loads(os.environ["WGT_BENCH_META"]), np.int32)
         total_cop, max_depth = int(meta[2]), int(meta[3])
         hist_key = (tuple(int(c) for c in meta[4:4 + max_depth + 1][1:])
@@ -82,6 +82,34 @@ def main():
             # constant 0, which XLA folds — waiting on it returns before
             # the program finishes (measured 0.5 ms/rep "e2e")
             return offsets[-1:], F[-8:]
+    elif mode == "ondemand":
+        # on-demand batch random access: every rep decodes the queried
+        # lists from the COMPRESSED artifacts (wave decode + host subset
+        # reconstruction) — the honest counterpart of the reference's
+        # 10M-query protocol, reported alongside the serve-mode number
+        # (which gathers from a pre-decoded CSR instead)
+        from webgraph_ans_tpu.ops.random_tpu import TpuRandomAccess
+
+        ra = TpuRandomAccess(dec)
+        B = int(os.environ.get("WGT_BENCH_ONDEMAND_BATCH", "65536"))
+        rng = np.random.default_rng(1)
+        batches = [rng.integers(0, g.num_nodes, size=B)
+                   for _ in range(reps + 2)]
+        ra.successors_batch(batches[0])          # compile + warm
+        ra.successors_batch(batches[1])
+        ts, arcs_b = [], []
+        for i in range(reps):
+            t0 = time.time()
+            got = ra.successors_batch(batches[2 + i])
+            ts.append(time.time() - t0)
+            arcs_b.append(got.num_arcs)
+        sec = float(np.median(ts))
+        per_arc = sec / max(float(np.mean(arcs_b)), 1) * 1e9
+        print(json.dumps({"mode": mode, "reps": reps, "sec_per_rep": sec,
+                          "queries_per_rep": B,
+                          "arcs_per_rep": float(np.mean(arcs_b)),
+                          "ns_per_arc": per_arc}))
+        return
     elif mode == "serve":
         # random-access serving: device CSR built once (reported by the
         # e2e metric), then each rep gathers 2^20 random rows

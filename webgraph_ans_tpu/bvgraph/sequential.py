@@ -74,6 +74,57 @@ class ANSBvGraphSeq:
             len(stream), p.state, 0, p.num_nodes)
         return Adjacency(off, succs)
 
+    def iter_chunks(self, max_nodes: int = 1 << 16,
+                    max_arcs: int = 1 << 22):
+        """Streams the graph in node order as (first_node, Adjacency)
+        chunks with O(window + chunk) RAM — the lazy-iterator analog of
+        the reference's BvGraphSeq (src/bvgraph/sequential.rs:29-51),
+        where decode_all materializes the full CSR. Block-encoded files
+        re-enter the stream at each block boundary transparently."""
+        p = self.prelude
+        lib = native.get_lib()
+        freqs, lens, log_m, radix, fidelity = p.model.packed()
+        stream = np.ascontiguousarray(p.stream, dtype=np.uint16)
+        if p.blocks is not None and len(p.blocks[0]) > 1:
+            starts = np.ascontiguousarray(p.blocks[0], dtype=np.uint32)
+            bstates = np.ascontiguousarray(p.blocks[1], dtype=np.uint32)
+            bptrs = np.ascontiguousarray(p.blocks[2], dtype=np.uint64)
+        else:
+            starts = bstates = bptrs = None
+        h = native.check_ptr(lib.wgt_seq_open(
+            native.as_ptr(stream, ctypes.c_uint16), len(stream),
+            p.state, p.num_nodes, p.compression_window,
+            p.min_interval_length,
+            native.as_ptr(starts, ctypes.c_uint32) if starts is not None else None,
+            native.as_ptr(bstates, ctypes.c_uint32) if starts is not None else None,
+            native.as_ptr(bptrs, ctypes.c_uint64) if starts is not None else None,
+            0 if starts is None else len(starts),
+            native.as_ptr(freqs, ctypes.c_uint16),
+            native.as_ptr(lens, ctypes.c_uint64),
+            native.as_ptr(log_m, ctypes.c_uint32),
+            native.as_ptr(radix, ctypes.c_uint32),
+            native.as_ptr(fidelity, ctypes.c_uint32)))
+        try:
+            first = 0
+            while True:
+                ch = native.check_ptr(lib.wgt_seq_next(h, max_nodes,
+                                                       max_arcs))
+                off, succs = native.fetch_adjacency(lib, ch)
+                if len(off) <= 1:
+                    break
+                yield first, Adjacency(off, succs)
+                first += len(off) - 1
+        finally:
+            lib.wgt_seq_close(h)
+
+    def iter_lists(self, max_nodes: int = 1 << 16,
+                   max_arcs: int = 1 << 22):
+        """Yields each node's successor list in node order, O(window +
+        chunk) RAM (the per-node iterator surface of the reference)."""
+        for _first, adj in self.iter_chunks(max_nodes, max_arcs):
+            for i in range(adj.num_nodes):
+                yield adj.successors(i)
+
     def _decode_range(self, lib, stream, freqs, lens, log_m, radix, fidelity,
                       entry_ptr, entry_state, first_node, n):
         p = self.prelude

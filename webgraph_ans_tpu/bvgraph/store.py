@@ -122,6 +122,150 @@ def _run_encode_pass(adj: Adjacency, window: int, max_ref: int, min_interval: in
         lib.wgt_enc_free(h)
 
 
+def _run_histogram_pass_stream(data, props, window: int, max_ref: int,
+                               min_interval: int, est_type: int,
+                               tables: estimators.EntropyTables):
+    """Histogram pass straight from the mmap'd .graph bitstream: RAM is
+    O(input window + output window + histograms), never the adjacency
+    (reference shape: mmap'd BvGraphSeq pulled by BvComp,
+    src/bvgraph/random_access.rs:101-132)."""
+    lib = native.get_lib()
+    h = native.check_ptr(
+        lib.wgt_bvcomp_histogram_stream(
+            native.as_ptr(data, ctypes.c_uint8), len(data), props.nodes,
+            props.window_size, props.min_interval_length, props.zeta_k,
+            props.outdegree_code, props.reference_code, props.block_code,
+            props.residual_code,
+            window, max_ref, min_interval,
+            est_type,
+            native.as_ptr(tables.costs, ctypes.c_uint64),
+            native.as_ptr(tables.lens, ctypes.c_uint64),
+            native.as_ptr(tables.fidelity, ctypes.c_uint32),
+            native.as_ptr(tables.radix, ctypes.c_uint32),
+        )
+    )
+    try:
+        hists = []
+        for comp in range(9):
+            k = int(lib.wgt_hist_size(h, comp))
+            syms = np.empty(k, dtype=np.uint64)
+            counts = np.empty(k, dtype=np.uint64)
+            if k:
+                lib.wgt_hist_get(
+                    h, comp,
+                    native.as_ptr(syms, ctypes.c_uint64),
+                    native.as_ptr(counts, ctypes.c_uint64),
+                )
+            hists.append((syms, counts))
+        return hists
+    finally:
+        lib.wgt_hist_free(h)
+
+
+def _run_encode_pass_stream(data, props, window: int, max_ref: int,
+                            min_interval: int,
+                            tables: estimators.EntropyTables,
+                            model: ANSModel,
+                            spill_path: str | None = None,
+                            spill_chunk_tokens: int = 1 << 22):
+    """Pass 3 straight from the mmap'd bitstream; with spill_path the
+    token buffer also goes out-of-core (O(spill_chunk_tokens) RAM)."""
+    lib = native.get_lib()
+    freqs, lens, log_m, radix, fidelity = model.packed()
+    h = native.check_ptr(
+        lib.wgt_bvcomp_encode_stream(
+            native.as_ptr(data, ctypes.c_uint8), len(data), props.nodes,
+            props.window_size, props.min_interval_length, props.zeta_k,
+            props.outdegree_code, props.reference_code, props.block_code,
+            props.residual_code,
+            window, max_ref, min_interval,
+            native.as_ptr(tables.costs, ctypes.c_uint64),
+            native.as_ptr(tables.lens, ctypes.c_uint64),
+            native.as_ptr(tables.fidelity, ctypes.c_uint32),
+            native.as_ptr(tables.radix, ctypes.c_uint32),
+            native.as_ptr(freqs, ctypes.c_uint16),
+            native.as_ptr(lens, ctypes.c_uint64),
+            native.as_ptr(log_m, ctypes.c_uint32),
+            native.as_ptr(radix, ctypes.c_uint32),
+            native.as_ptr(fidelity, ctypes.c_uint32),
+            spill_path.encode() if spill_path is not None else None,
+            spill_chunk_tokens,
+        )
+    )
+    try:
+        stream_len = int(lib.wgt_enc_stream_len(h))
+        num_phases = int(lib.wgt_enc_num_phases(h))
+        final_state = int(lib.wgt_enc_final_state(h))
+        stream = np.empty(stream_len, dtype=np.uint16)
+        states = np.empty(num_phases, dtype=np.uint32)
+        pointers = np.empty(num_phases, dtype=np.uint64)
+        if stream_len:
+            lib.wgt_enc_get_stream(h, native.as_ptr(stream, ctypes.c_uint16))
+        if num_phases:
+            lib.wgt_enc_get_states(h, native.as_ptr(states, ctypes.c_uint32))
+            lib.wgt_enc_get_pointers(h, native.as_ptr(pointers, ctypes.c_uint64))
+        return stream, states, pointers, final_state
+    finally:
+        lib.wgt_enc_free(h)
+
+
+def compress_bvgraph_streaming(basename: str, compression_window: int = 7,
+                               max_ref_count: int = 3,
+                               min_interval_length: int = 2,
+                               max_frame_log2: int = 12,
+                               spill_path: str | None = None,
+                               spill_chunk_tokens: int = 1 << 22
+                               ) -> CompressionResult:
+    """The 3-pass pipeline without EVER materializing the input
+    adjacency: each pass re-walks the mmap'd `.graph` bitstream through
+    BvComp (two O(window) list rings), so compression RAM is
+    O(window + histograms + phases [+ spill chunk]) — the reference's
+    streaming shape (BvGraphSeq + BvComp + RevBuffer), where this repo's
+    default path loads the graph into an in-RAM CSR first. Output is
+    bit-identical to the in-RAM pipeline (same BvComp decisions)."""
+    from . import properties as props_mod
+
+    props = props_mod.BvGraphProperties.load(basename)
+    data = props_mod.graph_bytes(basename)
+
+    t0 = time.time()
+    hist1 = _run_histogram_pass_stream(
+        data, props, compression_window, max_ref_count, min_interval_length,
+        estimators.LOG2, estimators.empty_tables())
+    model1 = build_model(hist1, max_frame_log2)
+    log.info("pass 1 (streaming log2 histograms + model) in %.2fs",
+             time.time() - t0)
+
+    t1 = time.time()
+    tables1 = estimators.entropy_tables(model1)
+    hist2 = _run_histogram_pass_stream(
+        data, props, compression_window, max_ref_count, min_interval_length,
+        estimators.ENTROPY, tables1)
+    model2 = build_model(hist2, max_frame_log2)
+    log.info("pass 2 (streaming entropy histograms + model) in %.2fs",
+             time.time() - t1)
+
+    t2 = time.time()
+    stream, states, pointers, final_state = _run_encode_pass_stream(
+        data, props, compression_window, max_ref_count, min_interval_length,
+        tables1, model2, spill_path=spill_path,
+        spill_chunk_tokens=spill_chunk_tokens)
+    log.info("pass 3 (streaming encode) in %.2fs", time.time() - t2)
+
+    prelude = Prelude(
+        model=model2,
+        stream=np.ascontiguousarray(stream, dtype=np.uint16),
+        state=final_state,
+        num_nodes=props.nodes,
+        num_arcs=props.arcs,
+        compression_window=compression_window,
+        min_interval_length=min_interval_length,
+        blocks=None,
+    )
+    return CompressionResult(prelude, states, pointers,
+                             model_report(model2, hist2), tables1)
+
+
 def dump_tokens(adj: Adjacency, window: int, max_ref: int, min_interval: int,
                 tables: estimators.EntropyTables):
     """Forward-order (value, component) token stream BvComp chooses under the
@@ -231,7 +375,8 @@ def store(basename: str, new_basename: str, compression_window: int = 7,
           encode_blocks: int = 1,
           phase_step: int = 1,
           spill_path: str | None = None,
-          spill_chunk_tokens: int = 1 << 22) -> CompressionResult:
+          spill_chunk_tokens: int = 1 << 22,
+          streaming: bool = False) -> CompressionResult:
     """Recompresses the BVGraph at `basename` into `new_basename.{ans,pointers,states}`
     (reference: ANSBvGraph::store, random_access.rs:91-222).
 
@@ -250,15 +395,24 @@ def store(basename: str, new_basename: str, compression_window: int = 7,
     if spill_path is not None and encode_blocks > 1:
         raise ValueError("spill_path requires the serial encoder "
                          "(encode_blocks=1)")
-    adj, _props = load_bvgraph(basename)
-    result = compress_adjacency(
-        adj, compression_window, max_ref_count, min_interval_length,
-        use_tpu_model_search=use_tpu_model_search,
-        max_frame_log2=max_frame_log2,
-        encode_blocks=encode_blocks,
-        spill_path=spill_path,
-        spill_chunk_tokens=spill_chunk_tokens,
-    )
+    if streaming:
+        if encode_blocks > 1 or use_tpu_model_search:
+            raise ValueError("streaming store supports the serial native "
+                             "pipeline (encode_blocks=1, host model search)")
+        result = compress_bvgraph_streaming(
+            basename, compression_window, max_ref_count,
+            min_interval_length, max_frame_log2=max_frame_log2,
+            spill_path=spill_path, spill_chunk_tokens=spill_chunk_tokens)
+    else:
+        adj, _props = load_bvgraph(basename)
+        result = compress_adjacency(
+            adj, compression_window, max_ref_count, min_interval_length,
+            use_tpu_model_search=use_tpu_model_search,
+            max_frame_log2=max_frame_log2,
+            encode_blocks=encode_blocks,
+            spill_path=spill_path,
+            spill_chunk_tokens=spill_chunk_tokens,
+        )
     prelude, states, pointers = result.prelude, result.states, result.pointers
     if phase_step > 1:
         prelude = dataclasses.replace(prelude, phase_step=phase_step)

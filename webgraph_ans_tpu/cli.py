@@ -42,6 +42,11 @@ def _add_compress_args(p):
                         "O(--spill-chunk-tokens); serial encoder only)")
     p.add_argument("--spill-chunk-tokens", type=int, default=1 << 22,
                    help="tokens per in-RAM spill chunk (default 4M)")
+    p.add_argument("--streaming", action="store_true",
+                   help="never materialize the input adjacency: every "
+                        "pass re-walks the mmap'd .graph through BvComp "
+                        "(RAM O(window + histograms + phases); combine "
+                        "with --spill-path for O(window + chunk) pass 3)")
 
 
 def main(argv=None):
@@ -82,7 +87,8 @@ def main(argv=None):
                     encode_blocks=args.encode_blocks,
                     phase_step=args.phase_step,
                     spill_path=args.spill_path,
-                    spill_chunk_tokens=args.spill_chunk_tokens)
+                    spill_chunk_tokens=args.spill_chunk_tokens,
+                    streaming=args.streaming)
         print(json.dumps({
             "seconds": round(time.time() - t0, 3),
             "nodes": res.prelude.num_nodes,

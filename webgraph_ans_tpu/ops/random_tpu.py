@@ -30,46 +30,67 @@ from .reconstruct_jax import _np_ragged, reconstruct
 
 
 class TpuRandomAccess:
-    def __init__(self, decoder: TpuGraphDecoder):
-        if decoder.phase_step > 1:
-            raise NotImplementedError(
-                "TPU wave random access needs per-node phases; on "
-                "phase-sampled artifacts use ANSBvGraph.successors_batch "
-                "(native skip-decode) or TpuCsrServer (device CSR)")
-        self.dec = decoder
+    """On-demand batch random access: queried lists are decoded from the
+    COMPRESSED artifacts per batch (no device CSR cache; contrast
+    TpuCsrServer below). Works on phase-sampled artifacts too: the unit
+    of decode is the ENTRY SEGMENT — the nodes between two consecutive
+    valid entry points (one node per segment at phase_step=1) — so a
+    query decodes forward from its preceding entry, exactly like the
+    native skip-decoder (reference analog: the per-node decoder factory,
+    src/bvgraph/factories/bvgraph_decoder_factory.rs:46-58)."""
 
-    def _decode_nodes(self, nodes: np.ndarray, cap: int):
-        """Decodes the token streams of the given nodes (one lane each).
-        Returns (values, comps, counts) as numpy, rows in `nodes` order.
-        Lane counts are padded to the next power of two (with repeats of
-        node 0) so wave decoding reuses a handful of compiled shapes."""
+    def __init__(self, decoder: TpuGraphDecoder):
+        self.dec = decoder
+        nodes, _, _ = decoder._entries()
+        self._entry_nodes = nodes                # ascending, [0] == 0
+
+    def _seg_of(self, nodes: np.ndarray) -> np.ndarray:
+        return np.searchsorted(self._entry_nodes, nodes, side="right") - 1
+
+    def _seg_bounds(self, segs: np.ndarray):
+        e = self._entry_nodes
+        starts = e[segs]
+        ends = np.where(segs + 1 < len(e), e[np.minimum(segs + 1,
+                                                        len(e) - 1)],
+                        self.dec.num_nodes)
+        return starts.astype(np.int64), ends.astype(np.int64)
+
+    def _decode_segments(self, segs: np.ndarray, cap: int):
+        """Decodes every token of the given entry segments (one lane
+        each). Returns (vals2d [L, cap], comps2d, counts) as numpy, rows
+        in `segs` order. Lane counts are padded to the next power of two
+        (with repeats of segment 0) so wave decoding reuses a handful of
+        compiled shapes."""
         d = self.dec
         W = d.window
-        true_len = len(nodes)
+        true_len = len(segs)
         L = 1 << max(true_len - 1, 1).bit_length()
         if L > true_len:
-            nodes = np.concatenate(
-                [nodes, np.zeros(L - true_len, dtype=nodes.dtype)])
-        starts = jnp.asarray(nodes.astype(np.int32))
-        ends = starts + 1
-        host_states = np.asarray(d.states)
-        host_ptrs = np.asarray(d.pointers)
-        if W > 0:
-            pre = nodes[:, None].astype(np.int64) - W + np.arange(W)[None, :]
+            segs = np.concatenate(
+                [segs, np.zeros(L - true_len, dtype=segs.dtype)])
+        starts, ends = self._seg_bounds(segs)
+        entry_states, entry_ptrs = d._entry_lookup(starts)
+        starts_d = jnp.asarray(starts.astype(np.int32))
+        if W > 0 and d.phase_step == 1:
+            host_states = d.states_np
+            host_ptrs = d.pointers
+            pre = starts[:, None] - W + np.arange(W)[None, :]
             pre_cl = np.clip(pre, 0, d.num_nodes - 1)
             ring = seed_rings(d.params, d.tables,
                               jnp.asarray(host_states[pre_cl]),
                               jnp.asarray(host_ptrs[pre_cl]),
-                              starts, W)
+                              starts_d, W)
+        elif W > 0:
+            ring = jnp.asarray(d._rings_via_native(starts, W))
         else:
             ring = jnp.zeros((L, 1), jnp.int32)
         cap = round_cap(d.params, cap)
         while True:
             out, counts, ok = decode_blocks(
                 d.params, d.tables,
-                jnp.asarray(host_states[nodes]),
-                jnp.asarray(host_ptrs[nodes]),
-                starts, ends, ring, W, d.min_interval, cap)
+                jnp.asarray(entry_states), jnp.asarray(entry_ptrs),
+                starts_d, jnp.asarray(ends.astype(np.int32)), ring,
+                W, d.min_interval, cap)
             if bool(np.all(np.asarray(ok))):
                 break
             cap *= 2
@@ -82,45 +103,77 @@ class TpuRandomAccess:
                    & 0xF).astype(np.uint8).T     # [L, cap]
         return vals2d[:true_len], comps2d[:true_len], counts[:true_len]
 
+    def _decode_nodes(self, nodes: np.ndarray, cap: int):
+        """Single-node decode rows (one node per lane); requires
+        per-node phases (phase_step=1). Kept for the multihost shard
+        closure, which slices per-node token rows."""
+        if self.dec.phase_step != 1:
+            raise ValueError("_decode_nodes needs per-node phases")
+        return self._decode_segments(np.asarray(nodes, np.int64), cap)
+
     def successors_batch(self, query_nodes, cap: int = 512) -> Adjacency:
         query = np.asarray(query_nodes, dtype=np.int64)
-        todo = np.unique(query)
         n = self.dec.num_nodes
-        seen = np.zeros(n, dtype=bool)
-        waves: list[tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]] = []
+        nseg = len(self._entry_nodes)
+        todo = np.unique(self._seg_of(np.unique(query)))
+        seen = np.zeros(nseg, dtype=bool)
+        waves = []
         guard = 0
         while todo.size:
             seen[todo] = True
-            vals, comps, counts = self._decode_nodes(todo, cap)
-            waves.append((todo, vals, comps, counts.astype(np.int64)))
-            # token 0 = outdegree, token 1 = reference (if window > 0):
-            # referenced parents not yet decoded form the next wave
-            has_par = (counts >= 2) & (comps[:, 1] == 1) & (vals[:, 1] > 0)
-            parents = todo[has_par] - vals[has_par, 1].astype(np.int64)
-            todo = np.unique(parents)
+            vals, comps, counts = self._decode_segments(todo, cap)
+            starts, _ends = self._seg_bounds(todo)
+            waves.append((todo, starts, vals, comps,
+                          counts.astype(np.int64)))
+            # per-node references inside each lane's flattened tokens:
+            # node id = segment start + (outdegree tokens seen - 1)
+            rowmask = np.arange(vals.shape[1])[None, :] < counts[:, None]
+            fv = vals[rowmask]
+            fc = comps[rowmask]
+            lane = np.repeat(np.arange(len(todo)), counts)
+            is_out = fc == 0
+            local = np.cumsum(is_out) - 1
+            lane_base = np.zeros(len(todo), np.int64)
+            lane_base[1:] = np.cumsum(
+                np.bincount(lane[is_out], minlength=len(todo)))[:-1]
+            node_of = starts[lane] + (local - lane_base[lane])
+            m = (fc == 1) & (fv > 0)
+            parents = node_of[m] - fv[m].astype(np.int64)
+            todo = np.unique(self._seg_of(parents))
             todo = todo[~seen[todo]]
             guard += 1
             if guard > 64 and todo.size:
                 raise RuntimeError(
                     "reference chains too deep for random access waves")
 
-        # flatten each wave's ragged rows (C-order keeps per-node token
-        # order), then permute whole token segments into ascending-id order
-        ids = np.concatenate([w[0] for w in waves])
-        cnts = np.concatenate([w[3] for w in waves])
-        flat_v = np.concatenate(
-            [v[np.arange(v.shape[1])[None, :] < c[:, None]]
-             for _, v, _, c in waves])
-        flat_c = np.concatenate(
-            [cm[np.arange(cm.shape[1])[None, :] < c[:, None]]
-             for _, _, cm, c in waves])
-        order = np.argsort(ids, kind="stable")
-        offs = np.zeros(len(ids) + 1, np.int64)
-        offs[1:] = np.cumsum(cnts)
-        seg, intra = _np_ragged(cnts[order], int(offs[-1]))
-        perm = offs[order[seg]] + intra
-        ids = ids[order]
-        offsets, succs = reconstruct(flat_v[perm], flat_c[perm], len(ids),
+        # order segments ascending; tokens then cover strictly ascending
+        # node ranges, which reconstruct(node_ids=...) requires
+        per = []
+        for segs, starts, vals, comps, counts in waves:
+            rowmask = np.arange(vals.shape[1])[None, :] < counts[:, None]
+            per.append((vals[rowmask], comps[rowmask], counts))
+        # per-lane token slices in ascending segment order
+        bounds = []
+        off = 0
+        for (segs, starts, _v, _c, counts) in waves:
+            ends_tok = np.cumsum(counts)
+            starts_tok = ends_tok - counts
+            for i in range(len(segs)):
+                bounds.append((segs[i], off + starts_tok[i],
+                               off + ends_tok[i]))
+            off += int(ends_tok[-1]) if len(counts) else 0
+        all_v = np.concatenate([p[0] for p in per])
+        all_c = np.concatenate([p[1] for p in per])
+        bounds.sort(key=lambda t: t[0])
+        flat_v = np.concatenate([all_v[a:b] for _, a, b in bounds])
+        flat_c = np.concatenate([all_c[a:b] for _, a, b in bounds])
+        seg_ids = np.array([s for s, _, _ in bounds], np.int64)
+        sstarts, sends = self._seg_bounds(seg_ids)
+        ids = np.concatenate(
+            [np.arange(a, b, dtype=np.int64)
+             for a, b in zip(sstarts, sends)]) if len(seg_ids) else \
+            np.zeros(0, np.int64)
+        offsets, succs = reconstruct(flat_v, flat_c, len(ids),
                                      self.dec.min_interval, node_ids=ids)
 
         # emit query rows in query order (ragged gather)

@@ -97,13 +97,36 @@ def _cumsum(x, axis=-1, BK=1 << 14):
     return (loc + carry[..., None]).reshape(x.shape)
 
 
-def _ffill_valid(ch):
+def _ffill_comb(a, b):
+    return jnp.where(b & 1 == 1, b, a)
+
+
+def _ffill_valid(ch, BK=1 << 14):
     """Forward-fill the last value with bit0 set along the last axis
     (channels pack run values as (val<<1)|1; unseeded slots are 0).
-    Last-valid combiner is associative, so this is one associative scan;
-    works for arbitrary (negative, non-monotone) packed values."""
-    return jax.lax.associative_scan(
-        lambda a, b: jnp.where(b & 1 == 1, b, a), ch, axis=-1)
+    Last-valid combiner is associative, so this is an associative scan —
+    BLOCKED two-level, like _cumsum: a flat associative_scan over a
+    ~60M-element axis emits a deep odd-size slicing recursion that OOMs
+    the XLA compiler (observed: tpu_compile_helper SIGKILL at
+    Epad = 58.7M; block scans over pow2 blocks compile fine). Works for
+    arbitrary (negative, non-monotone) packed values."""
+    N = ch.shape[-1]
+    if N <= BK:
+        return jax.lax.associative_scan(_ffill_comb, ch, axis=-1)
+    if N % BK:
+        pad = BK - N % BK
+        chp = jnp.concatenate(
+            [ch, jnp.zeros(ch.shape[:-1] + (pad,), ch.dtype)], axis=-1)
+        return _ffill_valid(chp, BK=BK)[..., :N]
+    x3 = ch.reshape(ch.shape[:-1] + (N // BK, BK))
+    loc = jax.lax.associative_scan(_ffill_comb, x3, axis=-1)
+    tails = loc[..., -1]                      # [..., NB] per-block last
+    carry_inc = jax.lax.associative_scan(_ffill_comb, tails, axis=-1)
+    carry = jnp.concatenate(
+        [jnp.zeros(carry_inc.shape[:-1] + (1,), ch.dtype),
+         carry_inc[..., :-1]], axis=-1)
+    out = jnp.where(loc & 1 == 1, loc, carry[..., None])
+    return out.reshape(ch.shape)
 
 
 def _bcast_runs_multi(size: int, starts_n, vals_list, mask_n):
@@ -264,19 +287,16 @@ def fill_slice(succs, F, slot_sl, src_sl, cnt):
     return succs.at[idx].set(vals, mode="drop")
 
 
-@functools.partial(jax.jit, static_argnames=(
-    "Epad", "Ccap", "min_interval", "hist_key"))
-def assemble(v, a1, a2, nib, sp, d, offsets, ncop, niv, tail, parent,
-             depth, total_cop, Epad: int, Ccap: int, min_interval: int,
-             hist_key: tuple):
-    """Pass 2 in ONE device program: the combined run/element scatter,
-    the two last-valid scans, the copy worklist, and every
-    depth-resolution round statically unrolled (round counts from
-    hist_key). Token arrays are STEP-MAJOR 2D (see _unpack4). Returns
-    (offsets, F sorted node-order CSR, succs grouped, seg).
-
-    Fusing the whole tail matters: each jit dispatch costs ~30 ms
-    through the remote-device relay, which dwarfs most stages."""
+def _assemble_body(v, a1, a2, nib, sp, d, offsets, ncop, niv, tail,
+                   parent, depth, total_cop, Epad: int, Ccap: int,
+                   min_interval: int, hist_key: tuple):
+    """Pass 2: the combined run/element scatter, the two last-valid
+    scans, the copy worklist, and every depth-resolution round
+    statically unrolled (round counts from hist_key). Token arrays are
+    STEP-MAJOR 2D (see _unpack4). Returns (offsets, F sorted node-order
+    CSR, succs grouped, seg). Called fused (one jit, `assemble`) for
+    normal graphs, or in two programs (`assemble_split`) past the
+    compile-memory scale where one program OOMs the XLA compiler."""
     cap, G = v.shape
     n = sp.shape[0]
     # previous token in column-major order: shift down one row, column
@@ -353,12 +373,19 @@ def assemble(v, a1, a2, nib, sp, d, offsets, ncop, niv, tail, parent,
     bnd_ci, bnd_ir = eb[1], eb[2]
     is_iv_el = (g >= bnd_ci) & (g < bnd_ir)
     succs = jnp.where(is_iv_el, (ff[0, :Epad] >> 1) + g, buf[:Epad])
+    return succs, seg, ff[1, :Ccap]
 
+
+def _rounds_body(offsets, succs, seg, ffC, ncop, depth, total_cop,
+                 Epad: int, Ccap: int, hist_key: tuple):
+    """Segment sort + depth-resolution rounds over the copy worklist."""
+    n = ncop.shape[0]
     F = sort_segments(seg, succs)
     if hist_key:
+        _, cb = _depth_order(depth, ncop)
         # copy worklist in (depth, node) grouped element order
         q = jnp.arange(Ccap, dtype=I32)
-        src = jnp.clip((ff[1, :Ccap] >> 1) + q, 0, Epad - 1)
+        src = jnp.clip((ffC >> 1) + q, 0, Epad - 1)
         slotb, = _bcast_runs_multi(Ccap, cb, [offsets[:n] - cb],
                                    ncop > 0)
         live = q < total_cop
@@ -376,6 +403,51 @@ def assemble(v, a1, a2, nib, sp, d, offsets, ncop, niv, tail, parent,
             F = sort_segments(seg, succs)
             off += cnt
     return offsets, F, succs, seg
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "Epad", "Ccap", "min_interval", "hist_key"))
+def assemble(v, a1, a2, nib, sp, d, offsets, ncop, niv, tail, parent,
+             depth, total_cop, Epad: int, Ccap: int, min_interval: int,
+             hist_key: tuple):
+    """_assemble_body + _rounds_body fused into ONE device program (each
+    jit dispatch costs a ~30 ms relay round trip, so the steady-state
+    path is a single dispatch)."""
+    succs, seg, ffC = _assemble_body(
+        v, a1, a2, nib, sp, d, offsets, ncop, niv, tail, parent, depth,
+        total_cop, Epad, Ccap, min_interval, hist_key)
+    return _rounds_body(offsets, succs, seg, ffC, ncop, depth, total_cop,
+                        Epad, Ccap, hist_key)
+
+
+_ASSEMBLE_P1 = jax.jit(_assemble_body, static_argnames=(
+    "Epad", "Ccap", "min_interval", "hist_key"))
+_ASSEMBLE_P2 = jax.jit(_rounds_body, static_argnames=(
+    "Epad", "Ccap", "hist_key"))
+
+# Above this many grouped elements (Epad + Ccap) the FUSED reconstruction
+# program OOMs the XLA compiler (observed: tpu_compile_helper SIGKILL at
+# the 58M-arc synthetic fixture, while every piece compiles alone) —
+# split into two programs, paying one extra dispatch.
+SPLIT_ELEMENTS = 48 << 20
+
+
+def assemble_split(*args):
+    """assemble as two device programs (see SPLIT_ELEMENTS)."""
+    (v, a1, a2, nib, sp, d, offsets, ncop, niv, tail, parent, depth,
+     total_cop, Epad, Ccap, min_interval, hist_key) = args
+    succs, seg, ffC = _ASSEMBLE_P1(
+        v, a1, a2, nib, sp, d, offsets, ncop, niv, tail, parent, depth,
+        total_cop, Epad=Epad, Ccap=Ccap, min_interval=min_interval,
+        hist_key=hist_key)
+    return _ASSEMBLE_P2(offsets, succs, seg, ffC, ncop, depth, total_cop,
+                        Epad=Epad, Ccap=Ccap, hist_key=hist_key)
+
+
+def _assemble_auto(*args):
+    Epad, Ccap = args[13], args[14]
+    fn = assemble_split if Epad + Ccap > SPLIT_ELEMENTS else assemble
+    return fn(*args)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -398,6 +470,23 @@ def parse_and_assemble(out, num_nodes: int, cap: int, min_interval: int,
         st["offsets"], st["ncop"], st["niv"], st["tail"], st["parent"],
         st["depth"], meta[2], Epad, Ccap, min_interval, hist_key)
     return offsets, F, meta
+
+
+def parse_and_assemble_auto(out, num_nodes: int, cap: int,
+                            min_interval: int, Epad: int, Ccap: int,
+                            hist_key: tuple, depth_iters: int = 0):
+    """parse_and_assemble, split into 3 dispatches past SPLIT_ELEMENTS
+    (still zero host syncs — programs queue back to back)."""
+    if Epad + Ccap <= SPLIT_ELEMENTS:
+        return parse_and_assemble(out, num_nodes, cap, min_interval,
+                                  Epad, Ccap, hist_key,
+                                  depth_iters=depth_iters)
+    st = parse_stats(out, num_nodes, cap, depth_iters=depth_iters)
+    offsets, F, _, _ = assemble_split(
+        st["v"], st["a1"], st["a2"], st["nib"], st["sp"], st["d"],
+        st["offsets"], st["ncop"], st["niv"], st["tail"], st["parent"],
+        st["depth"], st["meta"][2], Epad, Ccap, min_interval, hist_key)
+    return offsets, F, st["meta"]
 
 
 def reconstruct_device(out, num_nodes: int, num_arcs: int, cap: int,
@@ -428,7 +517,7 @@ def reconstruct_device(out, num_nodes: int, num_arcs: int, cap: int,
         total_cop, max_depth = int(cached[2]), int(cached[3])
         hist_key = (tuple(int(c) for c in cached[4:4 + max_depth + 1][1:])
                     if total_cop and max_depth > 0 else ())
-        offsets, F, meta_d = parse_and_assemble(
+        offsets, F, meta_d = parse_and_assemble_auto(
             out, n, cap, min_interval, _quant(E + 1), _quant(total_cop),
             hist_key, depth_iters=max(max_depth, 1))
         if not np.array_equal(np.asarray(meta_d), cached):
@@ -452,19 +541,23 @@ def reconstruct_device(out, num_nodes: int, num_arcs: int, cap: int,
             st["offsets"], st["ncop"], st["niv"], st["tail"], st["parent"],
             st["depth"], jnp.int32(total_cop))
     if not (total_cop and max_depth > 0):
-        offsets, F, _, _ = assemble(*args, Epad, Ccap, min_interval, ())
+        offsets, F, _, _ = _assemble_auto(*args, Epad, Ccap,
+                                          min_interval, ())
         return offsets, F, E
     if max_depth < 63:
         hist_key = tuple(int(c) for c in hist[1:max_depth + 1])
-        offsets, F, _, _ = assemble(*args, Epad, Ccap, min_interval,
-                                    hist_key)
+        offsets, F, _, _ = _assemble_auto(*args, Epad, Ccap, min_interval,
+                                          hist_key)
         return offsets, F, E
 
     # Depth histogram saturates at 64 buckets (hc-style unbounded
-    # chains): resolve with masked rounds over the full worklist, one
-    # dispatch per depth (correctness path; hc graphs trade decode speed
-    # for size on the reference too).
-    offsets, F, succs, seg = assemble(*args, Epad, Ccap, min_interval, ())
+    # chains; cnr-2000 hc reaches depth 4506): resolve with masked
+    # rounds over the full worklist, all rounds INSIDE one device
+    # while_loop — one dispatch total instead of one per depth
+    # (correctness path; depth-serial resolution is structural, and hc
+    # graphs trade decode speed for size on the reference too).
+    offsets, F, succs, seg = _assemble_auto(*args, Epad, Ccap,
+                                            min_interval, ())
     q = jnp.arange(Ccap, dtype=I32)
     _, cb = _depth_order(st["depth"], st["ncop"])
     slotb, dep_el = _bcast_runs_multi(
@@ -476,12 +569,30 @@ def reconstruct_device(out, num_nodes: int, num_arcs: int, cap: int,
                         st["offsets"], st["parent"], st["depth"],
                         st["ncop"], Ccap)
     src_all = jnp.where(live, jnp.clip(srcv + q, 0, Epad - 1), 0)
-    for k in range(1, int(max_depth) + 1):
-        take = dep_el == k
-        idxs = jnp.where(take & live, slot_all, Epad)
-        succs = succs.at[idxs].set(F[src_all], mode="drop")
-        F = sort_segments(seg, succs)
+    F = _deep_rounds(succs, F, seg, slot_all, src_all, dep_el,
+                     jnp.int32(max_depth))
     return offsets, F, E
+
+
+@jax.jit
+def _deep_rounds(succs, F, seg, slot_all, src_all, dep_el, max_depth):
+    """All masked depth rounds in ONE device program (dynamic trip
+    count): fill depth-k copy slots from the sorted parents, re-sort,
+    repeat."""
+    Epad = succs.shape[0]
+
+    def body(carry):
+        k, succs, F = carry
+        idxs = jnp.where(dep_el == k, slot_all, Epad)
+        succs = succs.at[idxs].set(F[src_all], mode="drop")
+        return k + 1, succs, sort_segments(seg, succs)
+
+    def cond(carry):
+        k, _, _ = carry
+        return k <= max_depth
+
+    _, _, F = jax.lax.while_loop(cond, body, (jnp.int32(1), succs, F))
+    return F
 
 
 @functools.partial(jax.jit, static_argnames=("Ccap",))

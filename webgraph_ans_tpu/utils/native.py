@@ -67,6 +67,18 @@ def _declare(lib: ctypes.CDLL) -> None:
              u16p, u64p, u32p, u32p, u32p, c.c_char_p, u64], void_p),
         "wgt_bvcomp_tokens": (
             [u64, u64p, u32p, u32, u32, u32, u64p, u64p, u32p, u32p], void_p),
+        "wgt_bvcomp_histogram_stream": (
+            [u8p, u64, u64, u32, u32, u32, i32, i32, i32, i32,
+             u32, u32, u32, i32, u64p, u64p, u32p, u32p], void_p),
+        "wgt_bvcomp_encode_stream": (
+            [u8p, u64, u64, u32, u32, u32, i32, i32, i32, i32,
+             u32, u32, u32, u64p, u64p, u32p, u32p,
+             u16p, u64p, u32p, u32p, u32p, c.c_char_p, u64], void_p),
+        "wgt_seq_open": (
+            [u16p, u64, u32, u64, u32, u32, u32p, u32p, u64p, u64,
+             u16p, u64p, u32p, u32p, u32p], void_p),
+        "wgt_seq_next": ([void_p, u64, u64], void_p),
+        "wgt_seq_close": ([void_p], None),
         "wgt_tok_count": ([void_p], u64),
         "wgt_tok_get": ([void_p, u64p, u8p], None),
         "wgt_tok_free": ([void_p], None),
