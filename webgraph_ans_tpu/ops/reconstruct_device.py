@@ -129,21 +129,33 @@ def _ffill_valid(ch, BK=1 << 14):
     return out.reshape(ch.shape)
 
 
+def _scatter_add_rows(C: int, size: int, idx_n, deltas):
+    """[C, size] scatter-add of per-channel deltas [C, n] at shared
+    column indices idx_n [n], lowered as ONE flat single-channel scatter
+    (XLA lowers a batched [C, size] scatter ~20x slower than the flat
+    equivalent on this platform; tools/probe_bvals.py). Out-of-range
+    idx_n (>= size) drop."""
+    valid = (idx_n >= 0) & (idx_n < size)
+    rows = jnp.arange(C, dtype=I32)[:, None] * size
+    flat_idx = jnp.where(valid[None, :], rows + idx_n[None, :],
+                         C * size).reshape(-1)
+    flat = jnp.zeros(C * size + 1, I32).at[flat_idx].add(
+        deltas.reshape(-1), mode="drop")
+    return flat[:C * size].reshape(C, size)
+
+
 def _bcast_runs_multi(size: int, starts_n, vals_list, mask_n):
     """Broadcast vals[i] over [starts_n[i], starts_n[next masked i]) of a
     length-`size` array for masked nodes (0 before the first), for
     several value channels sharing (starts, mask): one n-scale argsort +
-    one [C, size] stacked delta scatter + one stacked cumsum."""
+    one flat delta scatter + one stacked cumsum."""
     key = jnp.where(mask_n, starts_n, size)
     order = jnp.argsort(key)
     st = key[order]
-    keep = st < size
     sv = jnp.stack([v[order] for v in vals_list])
     delta = sv - jnp.concatenate(
         [jnp.zeros((len(vals_list), 1), I32), sv[:, :-1]], axis=1)
-    arr = jnp.zeros((len(vals_list), size), I32).at[
-        :, jnp.where(keep, st, size)].add(
-        jnp.where(keep[None, :], delta, 0), mode="drop")
+    arr = _scatter_add_rows(len(vals_list), size, st, delta)
     return _cumsum(arr, axis=-1)
 
 
@@ -326,8 +338,8 @@ def _assemble_body(v, a1, a2, nib, sp, d, offsets, ncop, niv, tail,
         [jnp.zeros((4, 1), I32), bvals[:, :-1]], axis=1)
     # flat step-major scatter index (single-axis scatters lower better)
     spf = (sp % cap) * G + sp // cap
-    bb = _cumsum_tok(jnp.zeros((4, cap * G), I32).at[:, spf].add(
-        deltas).reshape(4, cap, G))
+    bb = _cumsum_tok(_scatter_add_rows(4, cap * G, spf, deltas)
+                     .reshape(4, cap, G))
     off_x, off_par, off_pend, cbx = bb[0], bb[1], bb[2], bb[3]
 
     # --- the combined scatter: each token contributes at most ONE
@@ -365,8 +377,7 @@ def _assemble_body(v, a1, a2, nib, sp, d, offsets, ncop, niv, tail,
     edeltas = evals - jnp.concatenate(
         [jnp.zeros((3, 1), I32), evals[:, :-1]], axis=1)
     st = jnp.minimum(offsets[:n], Epad)
-    eb = _cumsum(jnp.zeros((3, Epad), I32).at[:, st].add(
-        edeltas, mode="drop"), axis=-1)
+    eb = _cumsum(_scatter_add_rows(3, Epad, st, edeltas), axis=-1)
     g = jnp.arange(Epad, dtype=I32)
     # padding elements (g >= E) must sort AFTER every real segment
     seg = jnp.where(g >= offsets[n], n, eb[0])
@@ -616,8 +627,8 @@ def _src_channel(v, a1, a2, nib, sp, offsets, parent, depth, ncop,
     deltas = bvals - jnp.concatenate(
         [jnp.zeros((3, 1), I32), bvals[:, :-1]], axis=1)
     spf = (sp % cap) * G + sp // cap
-    bb = _cumsum_tok(jnp.zeros((3, cap * G), I32).at[:, spf].add(
-        deltas).reshape(3, cap, G))
+    bb = _cumsum_tok(_scatter_add_rows(3, cap * G, spf, deltas)
+                     .reshape(3, cap, G))
     off_par, off_pend, cbx = bb[0], bb[1], bb[2]
     own = is_blk & ((a2 & 1) == 1) & (b > 0)
     tl = is_sum & (a2 > 0)
