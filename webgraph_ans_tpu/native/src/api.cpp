@@ -569,7 +569,7 @@ namespace {
 struct RandomCtx {
   const uint16_t* stream;
   const uint32_t* states;    // node order, one entry per `step` nodes
-  const uint64_t* pointers;  // node order, one entry per `step` nodes
+  const uint64_t* pointers;  // node order, one entry per `step` nodes (or null)
   const DecoderModel* model;
   uint32_t window;
   uint32_t min_interval;
@@ -579,11 +579,24 @@ struct RandomCtx {
   // answers the reference authors' open problem of phases costing 2.4-3.4x
   // the BVGraph offsets, reference README.md:176-179).
   uint32_t step = 1;
+  // Succinct mode: when `pointers` is null, phase pointers are read from
+  // the in-memory Elias-Fano structure (as serialized in `.pointers`,
+  // REVERSE node order) via constant-time select — ~2 bits/node resident
+  // instead of the 8 B/node decompressed array. This matches the
+  // reference's decoder factory, which keeps the sux EF + SelectAdaptConst
+  // in memory (reference: src/bvgraph/factories/
+  // bvgraph_decoder_factory.rs:46-58).
+  const EliasFano* ef = nullptr;
+  uint64_t ef_n = 0;  // number of sampled entries in `ef`
+
+  uint64_t ptr_at(uint64_t j) const {
+    return pointers ? pointers[j] : ef->get(ef_n - 1 - j);
+  }
 
   // Recursively decodes node x (following reference chains) into `out`.
   void decode_node(uint64_t x, std::vector<uint64_t>& out) const {
     uint64_t s = (x / step) * step;
-    ANSDecoder dec(*model, stream, pointers[x / step], states[x / step]);
+    ANSDecoder dec(*model, stream, ptr_at(x / step), states[x / step]);
     std::vector<uint64_t> ref_buf;
     if (s == x) {
       read_successors(
@@ -667,6 +680,70 @@ int64_t wgt_ans_bench_random(const uint16_t* stream, const uint32_t* states,
   DecoderModel dm = DecoderModel::from_encoder(em);
   RandomCtx ctx{stream, states, pointers, &dm, window, min_interval,
                 phase_step ? phase_step : 1};
+  std::mt19937_64 rng(seed);
+  std::vector<uint64_t> out;
+  uint64_t arcs = 0;
+  for (uint64_t q = 0; q < num_queries; ++q) {
+    uint64_t x = rng() % n;
+    ctx.decode_node(x, out);
+    arcs += out.size();
+  }
+  return static_cast<int64_t>(arcs);
+  API_END_INT
+}
+
+// Succinct-pointer variants: phase pointers come from an in-memory
+// Elias-Fano handle (wgt_ef_load of the `.pointers` blob, reverse node
+// order) instead of a decompressed u64 array. `ef_count` is the number of
+// sampled phase entries (== ceil(n / phase_step)).
+void* wgt_ans_decode_random_ef(
+    const uint16_t* stream, uint64_t stream_len, const uint32_t* states,
+    void* ef_handle, uint64_t ef_count, uint64_t n, uint32_t window,
+    uint32_t min_interval, const uint16_t* model_freqs,
+    const uint64_t* model_lens, const uint32_t* model_log_m,
+    const uint32_t* model_radix, const uint32_t* model_fidelity,
+    const uint64_t* node_ids, uint64_t num_queries, uint32_t phase_step) {
+  API_BEGIN
+  (void)stream_len;
+  (void)n;
+  EncoderModel em = make_encoder_model(model_freqs, model_lens, model_log_m,
+                                       model_radix, model_fidelity);
+  DecoderModel dm = DecoderModel::from_encoder(em);
+  RandomCtx ctx{stream,       states,
+                nullptr,      &dm,
+                window,       min_interval,
+                phase_step ? phase_step : 1,
+                static_cast<const EliasFano*>(ef_handle),
+                ef_count};
+  auto* r = new AdjResult();
+  r->offsets.assign(1, 0);
+  std::vector<uint64_t> out;
+  for (uint64_t q = 0; q < num_queries; ++q) {
+    ctx.decode_node(node_ids[q], out);
+    for (uint64_t s : out) r->succs.push_back(static_cast<uint32_t>(s));
+    r->offsets.push_back(r->succs.size());
+  }
+  return r;
+  API_END_PTR
+}
+
+int64_t wgt_ans_bench_random_ef(
+    const uint16_t* stream, const uint32_t* states, void* ef_handle,
+    uint64_t ef_count, uint64_t n, uint32_t window, uint32_t min_interval,
+    const uint16_t* model_freqs, const uint64_t* model_lens,
+    const uint32_t* model_log_m, const uint32_t* model_radix,
+    const uint32_t* model_fidelity, uint64_t num_queries, uint64_t seed,
+    uint32_t phase_step) {
+  API_BEGIN
+  EncoderModel em = make_encoder_model(model_freqs, model_lens, model_log_m,
+                                       model_radix, model_fidelity);
+  DecoderModel dm = DecoderModel::from_encoder(em);
+  RandomCtx ctx{stream,       states,
+                nullptr,      &dm,
+                window,       min_interval,
+                phase_step ? phase_step : 1,
+                static_cast<const EliasFano*>(ef_handle),
+                ef_count};
   std::mt19937_64 rng(seed);
   std::vector<uint64_t> out;
   uint64_t arcs = 0;
