@@ -593,19 +593,33 @@ struct RandomCtx {
     return pointers ? pointers[j] : ef->get(ef_n - 1 - j);
   }
 
-  // Recursively decodes node x (following reference chains) into `out`.
+  // Decodes node x (following reference chains) into `out`. With phase
+  // sampling (step > 1) an off-segment reference decodes its whole entry
+  // segment, and every node of that segment resolves its own references
+  // — without memoization the recursion tree branches per segment node
+  // and the work explodes exponentially along backward chains (observed:
+  // single queries running for hours on cnr-2000 at step=8). `memo`
+  // caches fully-decoded lists for the duration of one top-level query,
+  // making the visited-node set linear in the dependency closure.
   void decode_node(uint64_t x, std::vector<uint64_t>& out) const {
+    std::unordered_map<uint64_t, std::vector<uint64_t>> memo;
+    decode_node_memo(x, out, memo);
+  }
+
+  void decode_node_memo(
+      uint64_t x, std::vector<uint64_t>& out,
+      std::unordered_map<uint64_t, std::vector<uint64_t>>& memo) const {
     uint64_t s = (x / step) * step;
     ANSDecoder dec(*model, stream, ptr_at(x / step), states[x / step]);
     std::vector<uint64_t> ref_buf;
+    auto resolve = [&](uint64_t node) -> const std::vector<uint64_t>& {
+      auto it = memo.find(node);
+      if (it != memo.end()) return it->second;
+      decode_node_memo(node, ref_buf, memo);
+      return memo.emplace(node, std::move(ref_buf)).first->second;
+    };
     if (s == x) {
-      read_successors(
-          dec, x, window, min_interval,
-          [&](uint64_t node) -> const std::vector<uint64_t>& {
-            decode_node(node, ref_buf);
-            return ref_buf;
-          },
-          out);
+      read_successors(dec, x, window, min_interval, resolve, out);
       return;
     }
     // Skip-decode the intermediate nodes, keeping their lists in a local
@@ -619,8 +633,7 @@ struct RandomCtx {
           dec, y, window, min_interval,
           [&](uint64_t node) -> const std::vector<uint64_t>& {
             if (node >= s) return win[node % ring];
-            decode_node(node, ref_buf);
-            return ref_buf;
+            return resolve(node);
           },
           dst);
       if (y < x && window > 0) win[y % ring] = dst;
