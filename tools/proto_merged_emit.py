@@ -61,7 +61,8 @@ def parse_node(vals, comps, i, x, ring_deg, W, mi):
             bc = int(vals[i]); assert comps[i] == C_BC; i += 1
             struct += 1
             if bc == 0:
-                copy_runs.append((0, refd))
+                if refd > 0:
+                    copy_runs.append((0, refd))
                 copied = refd
             else:
                 bsum = 0
@@ -70,11 +71,13 @@ def parse_node(vals, comps, i, x, ring_deg, W, mi):
                     assert comps[i] == C_BLK; i += 1
                     struct += 1
                     if k % 2 == 0:
-                        copy_runs.append((bsum, b))
+                        if b > 0:
+                            copy_runs.append((bsum, b))
                         copied += b
                     bsum += b
                 if bc % 2 == 0:
-                    copy_runs.append((bsum, refd - bsum))
+                    if refd - bsum > 0:
+                        copy_runs.append((bsum, refd - bsum))
                     copied += refd - bsum
     extra = d - copied
     if extra > 0 and mi != 0:
@@ -101,7 +104,7 @@ def parse_node(vals, comps, i, x, ring_deg, W, mi):
     return i, d, copy_runs, iv_runs, res, struct, parent
 
 
-def simulate_lane(nodes, parsed, T, Q=(6, 4, 10, 4), real_start=0,
+def simulate_lane(nodes, parsed, T, Q=(64, 64, 64, 8), real_start=0,
                   out_base_ring=None):
     """Step-accurate simulation of one lane. nodes: list of node ids in
     order (halo first). parsed: dict x -> parse_node output. Returns
@@ -140,8 +143,16 @@ def simulate_lane(nodes, parsed, T, Q=(6, 4, 10, 4), real_start=0,
             ev.append((si, "i", r)); si = min(si + 2, struct - 1)
         nres = len(rs)
         meta_step = struct + (1 if nres else 0) - 1
+        # queue-overflow nodes: high-water rule — the kernel enqueues the
+        # node's meta EARLY with a dirty flag when run enqueues would
+        # overflow, and emission switches to grouped/placeholder mode
+        # (no merge-gating, queue drains as decode fills). Static
+        # approximation here: flag by run counts.
+        overflow = len(cr) > QC - 8 or len(ir) > QI - 8
+        if overflow:
+            meta_step = min(2, struct - 1)
         return dict(d=d, cr=cr, ir=ir, rs=rs, struct=struct,
-                    parent=parent, nres=nres, ev=ev,
+                    parent=parent, nres=nres, ev=ev, overflow=overflow,
                     meta_step=meta_step, x=x)
 
     sched = [mk_sched(x) for x in nodes]
@@ -155,19 +166,25 @@ def simulate_lane(nodes, parsed, T, Q=(6, 4, 10, 4), real_start=0,
     em_node = None      # emission: current node dict
     em_state = None
 
+    budget = 50 * sum(s["struct"] + s["nres"] + s["d"] for s in sched) + 1000
     while True:
         decode_done = dnode >= len(sched)
         emit_active = em_node is not None or qn
         if decode_done and not emit_active:
             break
         steps += 1
+        if steps > budget:
+            raise RuntimeError(
+                f"sim stuck: dnode={dnode}/{len(sched)} qn={len(qn)} "
+                f"qc={len(qc)} qi={len(qi)} qr={len(qr)} em={em_node and em_node['x']}")
         # ---------------- decode substep ----------------
         if not decode_done:
             s = sched[dnode]
             stalled = False
             if dstep < s["struct"]:
                 # struct token step: enqueue any events at this step
-                evs = [e for e in s["ev"] if e[0] == dstep]
+                evs = ([] if s["overflow"]
+                       else [e for e in s["ev"] if e[0] == dstep])
                 need_c = sum(1 for e in evs if e[1] == "c")
                 need_i = sum(1 for e in evs if e[1] == "i")
                 meta_full = (dstep == s["meta_step"] and len(qn) >= QN)
@@ -179,15 +196,13 @@ def simulate_lane(nodes, parsed, T, Q=(6, 4, 10, 4), real_start=0,
             else:
                 # residual token step
                 ri = dstep - s["struct"]
-                if len(qr) >= QR:
+                meta_full = (dstep == s["meta_step"] and len(qn) >= QN)
+                if len(qr) >= QR or meta_full:
                     stalled = True
                 else:
                     qr.append((s["x"], s["rs"][ri]))
             if not stalled and dstep == s["meta_step"]:
-                if len(qn) >= QN:
-                    stalled = True
-                else:
-                    qn.append(s)
+                qn.append(s)
             if not stalled:
                 dstep += 1
                 ntok = s["struct"] + s["nres"]
@@ -204,6 +219,9 @@ def simulate_lane(nodes, parsed, T, Q=(6, 4, 10, 4), real_start=0,
             base[x] = len(out_rows)
             em_state = dict(ci=0, coff=0, ii=0, ioff=0, rleft=em_node["nres"],
                             emitted=0, dirty=False)
+            if em_node.get("overflow"):
+                em_state["dirty"] = True
+                dirty.add(x)
             # dirty checks: ring distance + tainted parent
             if em_node["cr"]:
                 p = em_node["parent"]
@@ -312,7 +330,7 @@ def main():
                                 estimators.empty_tables())
     tables = estimators.entropy_tables(build_model(hist1, 12))
     vals, comps = dump_tokens(adj, W, MR, MI, tables)
-    print(f"tokens: {len(vals)} ({len(vals)/adj.num_arcs:.3f}/arc)")
+    print(f"tokens: {len(vals)} ({len(vals)/adj.num_arcs:.3f}/arc)", flush=True)
 
     # parse every node once (sequential, maintaining outdegree ring)
     ring = [0] * (W + 1)
@@ -326,12 +344,56 @@ def main():
         ring[x % (W + 1)] = d
         i = i2
     assert i == len(vals)
-    print(f"parsed all nodes in {time.time()-t0:.1f}s")
+    print(f"parsed all nodes in {time.time()-t0:.1f}s", flush=True)
+
+    ncr = np.array([len(parsed[x][1]) for x in range(n)])
+    nir = np.array([len(parsed[x][2]) for x in range(n)])
+    print(f"copy runs/node: max {ncr.max()} p99.99 "
+          f"{np.percentile(ncr, 99.99):.0f} | iv runs/node: max {nir.max()} "
+          f"p99.99 {np.percentile(nir, 99.99):.0f}", flush=True)
 
     # ground truth check on a full single-lane merge + lane stats
     offs = adj.offsets.astype(np.int64)
-    H = W * 3  # window * max_ref
-    bounds = np.linspace(0, n, L + 1).astype(np.int64)
+    H = int(os.environ.get("WGT_PROTO_H", W * 3))  # halo nodes (0 = none)
+    if os.environ.get("WGT_PROTO_GREEDY") == "1":
+        # greedy halo-aware split: each lane's step estimate = halo
+        # elements + own elements + alpha * nodes; open a new lane when
+        # the estimate reaches the global target
+        a = float(os.environ.get("WGT_PROTO_ALPHA", "2"))
+        halo_el = offs[np.arange(n + 1)] - offs[np.maximum(np.arange(n + 1) - H, 0)]
+        def split(target):
+            blist = [0]
+            acc = halo_el[0]
+            for x in range(n):
+                w = (offs[x + 1] - offs[x]) + a
+                if acc + w > target and x > blist[-1]:
+                    if len(blist) == L:
+                        return None
+                    blist.append(x)
+                    acc = halo_el[x]
+                acc += w
+            while len(blist) < L + 1:
+                blist.append(n)
+            return np.array(blist, np.int64)
+
+        lo = float((offs[-1] + a * n) / L)
+        hi = lo * 8 + float(halo_el.max()) + 4000
+        for _ in range(40):
+            mid = (lo + hi) / 2
+            if split(mid) is None:
+                lo = mid
+            else:
+                hi = mid
+        bounds = split(hi)
+    elif os.environ.get("WGT_PROTO_ELBAL") == "1":
+        # element-balanced lane bounds (meta-cached degrees in the plan)
+        a = float(os.environ.get("WGT_PROTO_ALPHA", "0"))
+        work = offs + a * np.arange(n + 1)
+        targets = np.linspace(0, work[-1], L + 1)
+        bounds = np.searchsorted(work, targets).astype(np.int64)
+        bounds[0], bounds[-1] = 0, n
+    else:
+        bounds = np.linspace(0, n, L + 1).astype(np.int64)
     tot_steps = []
     tot_holes = 0
     tot_elems = 0
