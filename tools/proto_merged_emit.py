@@ -26,6 +26,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 from webgraph_ans_tpu.bvgraph import estimators
+from webgraph_ans_tpu.ops.emit_post import (C_EL, C_EMPTY, C_FIRST, C_HOLE,
+                                            C_PLACE, C_REFINFO)
 from webgraph_ans_tpu.bvgraph.graph import load_bvgraph
 from webgraph_ans_tpu.ans.model import build_model
 from webgraph_ans_tpu.bvgraph.store import _run_histogram_pass, dump_tokens
@@ -216,9 +218,8 @@ def simulate_lane(nodes, parsed, T, Q=(64, 64, 64, 8), real_start=0,
         if em_node is None and qn:
             em_node = qn.pop(0)
             x = em_node["x"]
-            base[x] = len(out_rows)
             em_state = dict(ci=0, coff=0, ii=0, ioff=0, rleft=em_node["nres"],
-                            emitted=0, dirty=False)
+                            emitted=0, dirty=False, first=True)
             if em_node.get("overflow"):
                 em_state["dirty"] = True
                 dirty.add(x)
@@ -229,7 +230,7 @@ def simulate_lane(nodes, parsed, T, Q=(64, 64, 64, 8), real_start=0,
                     em_state["dirty"] = True
                 pb = base.get(p)
                 if pb is None:
-                    em_state["dirty"] = True   # halo under-coverage
+                    em_state["dirty"] = True   # cross-lane parent
                 else:
                     first_src = pb + em_node["cr"][0][0]
                     if (len(out_rows) + em_node["d"]) - first_src > T:
@@ -239,8 +240,15 @@ def simulate_lane(nodes, parsed, T, Q=(64, 64, 64, 8), real_start=0,
             if em_node["d"] == 0:
                 em_node = None      # zero-degree: consumes this step
                 holes += 1
-                out_rows.append((x, None))
+                out_rows.append((C_EMPTY, x, 0))
                 continue
+            if em_state["dirty"]:
+                # refinfo row occupies the pop step; elements follow
+                ref = x - em_node["parent"] if em_node["parent"] >= 0 else 0
+                base[x] = len(out_rows) + 1
+                out_rows.append((C_REFINFO, x, ref))
+                continue
+            base[x] = len(out_rows)
         if em_node is not None:
             st = em_state
             x = em_node["x"]
@@ -251,8 +259,9 @@ def simulate_lane(nodes, parsed, T, Q=(64, 64, 64, 8), real_start=0,
                 p = em_node["parent"]
                 pb = base.get(p, 0)
                 row = pb + src0 + st["coff"]
-                if row < len(out_rows) and out_rows[row][1] is not None:
-                    hc = out_rows[row][1]
+                if row < len(out_rows) and out_rows[row][0] in (
+                        C_EL, C_FIRST, C_PLACE):
+                    hc = out_rows[row][2]
                 else:
                     hc = -1  # unresolvable; dirty path emits placeholder
             if st["ii"] < len(em_node["ir"]):
@@ -267,9 +276,10 @@ def simulate_lane(nodes, parsed, T, Q=(64, 64, 64, 8), real_start=0,
                 can_emit = False       # residual head not decoded yet
             if st["dirty"]:
                 # grouped emission: copies (placeholders), intervals, res
-                if hc is not None:
-                    val = -(base.get(em_node["parent"], 0)
-                            + em_node["cr"][st["ci"]][0] + st["coff"]) - 2
+                code = C_EL
+                if st["ci"] < len(em_node["cr"]):
+                    val = em_node["cr"][st["ci"]][0] + st["coff"]  # j
+                    code = C_PLACE
                     st["coff"] += 1
                     if st["coff"] == em_node["cr"][st["ci"]][1]:
                         st["ci"] += 1; st["coff"] = 0
@@ -283,7 +293,7 @@ def simulate_lane(nodes, parsed, T, Q=(64, 64, 64, 8), real_start=0,
                 else:
                     val = None
                 if val is not None:
-                    out_rows.append((x, val)); emitted = True
+                    out_rows.append((code, x, val)); emitted = True
                     st["emitted"] += 1
             elif can_emit:
                 best, kind = None, None
@@ -291,7 +301,9 @@ def simulate_lane(nodes, parsed, T, Q=(64, 64, 64, 8), real_start=0,
                     if v is not None and (best is None or v < best):
                         best, kind = v, k
                 if best is not None:
-                    out_rows.append((x, best)); emitted = True
+                    code = C_FIRST if st["first"] else C_EL
+                    st["first"] = False
+                    out_rows.append((code, x, best)); emitted = True
                     st["emitted"] += 1
                     if kind == "c":
                         st["coff"] += 1
@@ -312,7 +324,7 @@ def simulate_lane(nodes, parsed, T, Q=(64, 64, 64, 8), real_start=0,
                 em_node = None
         if not emitted:
             holes += 1
-            out_rows.append((None, None))
+            out_rows.append((C_HOLE, 0, 0))
         max_qc = max(max_qc, len(qc)); max_qi = max(max_qi, len(qi))
         max_qr = max(max_qr, len(qr)); max_qn = max(max_qn, len(qn))
     stats = dict(max_qc=max_qc, max_qi=max_qi, max_qr=max_qr,
@@ -413,13 +425,15 @@ def main():
         # verify each real node's slice
         if li % 64 == 0 or li == L - 1:
             per = {}
-            for x, v in rows:
-                if x is not None and v is not None:
-                    per.setdefault(x, []).append(v)
+            cur = None
+            for code, xv, v in rows:
+                if code in (C_FIRST, C_REFINFO, C_EMPTY):
+                    cur = xv
+                if code in (C_EL, C_FIRST):
+                    per.setdefault(cur, []).append(v)
             for x in range(s, e):
                 want = adj.succs[offs[x]:offs[x + 1]].astype(np.int64).tolist()
                 got = per.get(x, [])
-                got = [g for g in got if g >= 0]   # drop dirty placeholders
                 if x not in all_dirty and got != want:
                     mism += 1
                     if mism < 4:
@@ -435,3 +449,55 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def emit_channels(adj, W=7, MR=3, MI=2, L=8, T=1024, alpha=2.0,
+                  tables=None):
+    """Runs the simulator over all lanes of `adj` and packs the kernel
+    output contract channels (see ops/emit_post.py): returns
+    (val u32 [S, L], xch u32 [S, L], nib u32 [S//8, L], lane_of [n],
+    bounds [L+1], dirty set). Test harness for the post-pass."""
+    n = adj.num_nodes
+    hist1 = _run_histogram_pass(adj, W, MR, MI, estimators.LOG2,
+                                estimators.empty_tables())
+    tb = tables or estimators.entropy_tables(build_model(hist1, 12))
+    vals, comps = dump_tokens(adj, W, MR, MI, tb)
+    ring = [0] * (W + 1)
+    parsed = {}
+    i = 0
+    for x in range(n):
+        i2, d, cr, ir, rs, struct, parent = parse_node(
+            vals, comps, i, x, ring, W, MI)
+        parsed[x] = (d, cr, ir, rs, struct, parent)
+        ring[x % (W + 1)] = d
+        i = i2
+    offs = adj.offsets.astype(np.int64)
+    work = offs + alpha * np.arange(n + 1)
+    targets = np.linspace(0, work[-1], L + 1)
+    bounds = np.searchsorted(work, targets).astype(np.int64)
+    bounds[0], bounds[-1] = 0, n
+    lanes = []
+    dirty_all = set()
+    for li in range(L):
+        s, e = int(bounds[li]), int(bounds[li + 1])
+        steps, holes, rows, dirty, _ = simulate_lane(
+            list(range(s, e)), parsed, T, real_start=s)
+        lanes.append(rows)
+        dirty_all |= dirty
+    S = -(-max(max((len(r) for r in lanes), default=1), 1) // 8) * 8
+    val = np.zeros((S, L), np.uint32)
+    xch = np.zeros((S, L), np.uint32)
+    codes = np.full((S, L), 0xF, np.uint32)
+    for li, rows in enumerate(lanes):
+        for r, (c, xv, v) in enumerate(rows):
+            codes[r, li] = c
+            val[r, li] = np.uint32(v)
+            xch[r, li] = np.uint32(xv)
+    shifts = (np.arange(S) % 8) * 4
+    nib = np.zeros((S // 8, L), np.uint32)
+    for k in range(8):
+        nib |= (codes[k::8, :] << np.uint32(4 * k))
+    lane_of = np.zeros(n, np.int32)
+    for li in range(L):
+        lane_of[bounds[li]:bounds[li + 1]] = li
+    return val, xch, nib, lane_of, bounds, dirty_all

@@ -1,0 +1,243 @@
+"""Post-pass for the merged-emit decode kernel: channels -> device adjacency.
+
+The merged-emit kernel (ops/emit_pallas.py) performs the BvGraph
+successor reconstruction IN-KERNEL: its FSM merges copy runs (read back
+from a ring of the lane's own already-emitted rows), interval runs, and
+residuals by value, emitting one FINAL sorted successor per step. The
+reference capability being replaced is webgraph's BvGraph recursion +
+this repo's former sort-based device reconstruction (reference:
+src/bvgraph/mod.rs component grammar; executable spec
+native/src/bvgraph.hpp read_successors).
+
+Kernel output contract (S = step cap, G = lanes; lane l's rows run down
+column l; all u32):
+
+- val  [S, G]: the emitted successor value; j (parent list position) on
+  placeholder rows; ref on refinfo rows; undefined elsewhere.
+- xch  [S, G]: the node id x on MARKER rows (codes 1/3/5), undefined
+  elsewhere.
+- nib  [S//8, G]: 4-bit row codes packed 8 per word (row s -> word s//8,
+  nibble s%8):
+    0 = element row (val = successor)
+    1 = element row, FIRST of a clean node (val = successor, xch = x)
+    2 = hole (stall) row
+    3 = refinfo row: FIRST row of a DIRTY node (val = ref, xch = x);
+        the node's rows follow in grouped order (placeholders for
+        copies, then real interval/residual values), possibly with
+        interspersed holes
+    4 = placeholder element row of a dirty node (val = j: the element
+        copies the parent's j-th successor)
+    5 = empty-node row (outdegree 0; xch = x; counts as a hole)
+    0xF = done/padding
+
+Dirty nodes (cross-lane parent, copy source older than the kernel's
+T-row ring, or run-queue overflow) emit GROUPED instead of merged; this
+post-pass resolves their placeholders by gathering from the (already
+final) parent slices and sorts each dirty slice, writing it back
+CONTIGUOUSLY from its start row. Dirty chains (a dirty node whose
+parent is dirty) resolve over `rounds` passes in chain-depth order.
+
+The result is a column-major padded device adjacency:
+    succs2d [S, G] u32, starts_flat [n] i32, degs [n] i32
+where node x's successors are succs2d.flat[starts_flat[x] + k*G] for
+k in [0, degs[x]) — one strided slice per node (flat index domain is
+column-major: row*G + lane). `to_dense_csr` converts to the classic
+contiguous (offsets, succs) at the cost of one element-scale gather.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .reconstruct_device import _cumsum, _cumsum_tok, _quant
+
+I32 = jnp.int32
+UNROLL = 8
+
+# row codes
+C_EL, C_FIRST, C_HOLE, C_REFINFO, C_PLACE, C_EMPTY = range(6)
+C_DONE = 0xF
+
+
+def unpack_nib(nib, S: int):
+    """[S//8, G] packed words -> [S, G] i32 codes."""
+    shifts = jnp.arange(UNROLL, dtype=jnp.uint32) * 4
+    return ((nib[:, None, :] >> shifts[None, :, None]) & 0xF).reshape(
+        S, -1).astype(I32)
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def extract_node_tables(val, xch, nib, lane_of, n: int):
+    """Pass 1: per-node tables from the channels.
+
+    lane_of [n] i32: the lane holding each node (static per plan).
+    Returns dict of n-arrays: start_el (row of the first element),
+    deg, kind (0 clean / 1 dirty / 2 empty), ref, span (rows until the
+    next marker; slice gather budget for dirty nodes), plus ok flags.
+    One P-scale scatter + one P-scale cumsum; everything else n-scale.
+    """
+    S, G = val.shape
+    codes = unpack_nib(nib, S)
+    is_elem = (codes == C_EL) | (codes == C_FIRST) | (codes == C_PLACE)
+    is_marker = (codes == C_FIRST) | (codes == C_REFINFO) | (codes == C_EMPTY)
+
+    rows = jax.lax.broadcasted_iota(I32, (S, G), 0)
+    # exclusive element rank in column (token) order
+    rank = _cumsum_tok(is_elem.astype(I32)) - is_elem.astype(I32)
+
+    kind = jnp.where(codes == C_FIRST, 0,
+                     jnp.where(codes == C_REFINFO, 1, 2))
+    idx = jnp.where(is_marker,
+                    jax.lax.bitcast_convert_type(xch, I32), n)
+    packed = (rows << 2) | kind
+    mrow_p = jnp.zeros(n + 1, I32).at[idx.reshape(-1)].set(
+        packed.reshape(-1), mode="drop")
+    mrow, mkind = mrow_p[:n] >> 2, mrow_p[:n] & 3
+
+    # n-scale gathers back into the 2D arrays at the marker rows
+    flat = mrow * G + lane_of
+    rank_at = rank.reshape(-1)[flat]
+    ref_raw = jax.lax.bitcast_convert_type(val, I32).reshape(-1)[flat]
+    ref = jnp.where(mkind == 1, ref_raw, 0)
+
+    # element counts: d[x] = rank at next marker (same lane) - rank at x;
+    # per-lane totals close the last node of each lane
+    lane_tot = rank[-1, :] + is_elem[-1, :].astype(I32)   # inclusive total
+    next_same_lane = jnp.concatenate(
+        [lane_of[1:] == lane_of[:-1], jnp.zeros(1, bool)])
+    nxt_rank = jnp.concatenate([rank_at[1:], jnp.zeros(1, I32)])
+    deg = jnp.where(next_same_lane, nxt_rank, lane_tot[lane_of]) - rank_at
+    deg = jnp.where(mkind == 2, 0, deg)
+
+    start_el = mrow + (mkind == 1).astype(I32)
+    nxt_mrow = jnp.concatenate([mrow[1:], jnp.zeros(1, I32)])
+    span = jnp.where(next_same_lane, nxt_mrow, S) - start_el
+    ok = jnp.all(deg >= 0) & jnp.all(span >= deg)
+    return dict(start_el=start_el, deg=deg, kind=mkind, ref=ref,
+                span=span, rank_at=rank_at, codes=codes, ok=ok)
+
+
+def _expand_spans(base_n, len_n, mask_n, Dcap: int):
+    """Ragged expansion: for masked nodes, emit (node, k) pairs for
+    k in [0, len_n) packed densely into [Dcap] (order = node order).
+    Returns (node_ids [Dcap], k [Dcap], valid [Dcap], dbase [n])."""
+    n = base_n.shape[0]
+    ln = jnp.where(mask_n, len_n, 0)
+    dbase = _cumsum(ln) - ln                    # exclusive
+    total = dbase[-1] + ln[-1]
+    # node id per slot: scatter-max node ids at span starts + cummax
+    g = jnp.arange(Dcap, dtype=I32)
+    starts = jnp.where(mask_n & (ln > 0), dbase, Dcap)
+    ids = jnp.arange(n, dtype=I32)
+    arr = jnp.zeros(Dcap + 1, I32).at[starts].max(ids, mode="drop")
+    node = jax.lax.cummax(arr[:Dcap])
+    k = g - dbase[node]
+    valid = (g < total) & (k >= 0) & (k < ln[node])
+    return node, k, valid, dbase
+
+
+@functools.partial(jax.jit, static_argnames=("n", "Dcap", "rounds"))
+def fixup_dirty(val, tabs, lane_of, ddep, parent, n: int, Dcap: int,
+                rounds: int):
+    """Resolve + sort dirty slices in chain-depth order, writing each
+    back contiguously from its start row. All Dcap-scale."""
+    S, G = val.shape
+    F = jax.lax.bitcast_convert_type(val, I32).reshape(-1)   # [S*G]
+    codes_f = tabs["codes"].reshape(-1)
+    start_el, deg, span = tabs["start_el"], tabs["deg"], tabs["span"]
+    dirty = tabs["kind"] == 1
+
+    node, k, valid, dbase = _expand_spans(start_el, span, dirty, Dcap)
+    rowf = (start_el[node] + k) * G + lane_of[node]
+    rowf = jnp.where(valid, rowf, 0)
+    code_s = jnp.where(valid, codes_f[rowf], C_HOLE)
+    is_el = (code_s == C_EL) | (code_s == C_FIRST) | (code_s == C_PLACE)
+    startsF = start_el * G + lane_of
+    pstartF = startsF[parent]
+
+    BIG = jnp.int32(0x7FFFFFFF)
+    for r in range(1, rounds + 1):
+        live = valid & (ddep[node] == r)
+        v = F[rowf]
+        j = v
+        src = jnp.clip(pstartF[node] + j * G, 0, S * G - 1)
+        v = jnp.where(live & (code_s == C_PLACE), F[src], v)
+        key = jnp.where(live & is_el, v, BIG)
+        # group by node (already node-ordered), sort values inside each
+        # group: one 2-key sort over Dcap
+        snode, sv = jax.lax.sort((node, key), num_keys=2)
+        rank_in = jnp.arange(Dcap, dtype=I32) - dbase[snode]
+        dest = startsF[snode] + rank_in * G
+        put = (sv != BIG) & (rank_in < deg[snode]) & (ddep[snode] == r)
+        F = F.at[jnp.where(put, dest, S * G)].set(sv, mode="drop")
+    return F.reshape(S, G)
+
+
+def postprocess(val, xch, nib, lane_of_np, lane_starts_np, n: int,
+                meta_cache: dict | None = None):
+    """Full post-pass: channels -> (succs2d i32, starts_flat, degs,
+    tabs). meta_cache (mutated) caches Dcap/rounds so the steady state
+    issues a fixed program with no data-dependent shapes."""
+    lane_of = jnp.asarray(lane_of_np)
+    tabs = extract_node_tables(val, xch, nib, lane_of, n)
+    mc = meta_cache if meta_cache is not None else {}
+    if "ddep" not in mc:
+        kind = np.asarray(tabs["kind"])
+        ref = np.asarray(tabs["ref"])
+        span = np.asarray(tabs["span"])
+        parent = np.maximum(np.arange(n) - ref, 0)
+        dirty = kind == 1
+        # dirty-chain depth (n-scale, host, one-time per artifact):
+        # clean = 0; dirty = 1 + depth of (possibly dirty) parent
+        ddep = np.where(dirty, 1, 0).astype(np.int32)
+        for _ in range(64):
+            upd = dirty & (ddep <= ddep[parent])
+            if not upd.any():
+                break
+            ddep = np.where(upd, ddep[parent] + 1, ddep)
+        else:
+            raise RuntimeError("dirty chains deeper than 64")
+        mc["ddep"] = ddep
+        mc["parent"] = parent.astype(np.int32)
+        mc["rounds"] = int(ddep.max())
+        mc["Dcap"] = _quant(int(span[dirty].sum()) + 1)
+    if mc["rounds"] > 0:
+        succs2d = fixup_dirty(
+            val, tabs, lane_of, jnp.asarray(mc["ddep"]),
+            jnp.asarray(mc["parent"]), n, mc["Dcap"], mc["rounds"])
+    else:
+        succs2d = jax.lax.bitcast_convert_type(val, I32)
+    G = val.shape[1]
+    starts_flat = tabs["start_el"] * G + lane_of
+    return succs2d, starts_flat, tabs["deg"], tabs
+
+
+def to_host_lists(succs2d, starts_flat, degs, n: int):
+    """Host verification helper: full python list-of-arrays."""
+    F = np.asarray(succs2d).reshape(-1)
+    st = np.asarray(starts_flat).astype(np.int64)
+    d = np.asarray(degs).astype(np.int64)
+    G = np.asarray(succs2d).shape[1]
+    out = []
+    for x in range(n):
+        out.append(F[st[x] + np.arange(d[x]) * G])
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("E",))
+def to_dense_csr(succs2d, starts_flat, degs, E: int):
+    """Classic contiguous CSR from the padded column-major adjacency:
+    one element-scale gather."""
+    n = degs.shape[0]
+    G = succs2d.shape[1]
+    offsets = jnp.concatenate([jnp.zeros(1, I32), _cumsum(degs)])
+    node, k, valid, _ = _expand_spans(
+        starts_flat, degs, jnp.ones(n, bool), E)
+    src = jnp.clip(starts_flat[node] + k * G, 0,
+                   succs2d.shape[0] * G - 1)
+    succs = jnp.where(valid, succs2d.reshape(-1)[src], 0)
+    return offsets, succs
