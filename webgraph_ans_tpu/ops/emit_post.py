@@ -121,6 +121,26 @@ def extract_node_tables(val, xch, nib, lane_of, n: int):
                 span=span, rank_at=rank_at, codes=codes, ok=ok)
 
 
+def _cummax(x, BK=1 << 13):
+    """Blocked cumulative max along a 1D array: jax.lax.cummax lowers to
+    a reduce_window whose cost explodes past ~100k elements (measured
+    116 ms at 393k on v5e); two-level blocking bounds it like _cumsum."""
+    N = x.shape[0]
+    if N <= BK:
+        return jax.lax.cummax(x)
+    if N % BK:
+        pad = BK - N % BK
+        xp = jnp.concatenate([x, jnp.full(pad, x[-1] * 0 - (1 << 30),
+                                          x.dtype)])
+        return _cummax(xp, BK=BK)[:N]
+    x2 = x.reshape(N // BK, BK)
+    loc = jax.lax.cummax(x2, axis=1)
+    carry_in = jax.lax.cummax(loc[:, -1])
+    carry = jnp.concatenate(
+        [jnp.full(1, -(1 << 30), x.dtype), carry_in[:-1]])
+    return jnp.maximum(loc, carry[:, None]).reshape(N)
+
+
 def _expand_spans(base_n, len_n, mask_n, Dcap: int):
     """Ragged expansion: for masked nodes, emit (node, k) pairs for
     k in [0, len_n) packed densely into [Dcap] (order = node order).
@@ -134,54 +154,75 @@ def _expand_spans(base_n, len_n, mask_n, Dcap: int):
     starts = jnp.where(mask_n & (ln > 0), dbase, Dcap)
     ids = jnp.arange(n, dtype=I32)
     arr = jnp.zeros(Dcap + 1, I32).at[starts].max(ids, mode="drop")
-    node = jax.lax.cummax(arr[:Dcap])
+    node = _cummax(arr[:Dcap])
     k = g - dbase[node]
     valid = (g < total) & (k >= 0) & (k < ln[node])
     return node, k, valid, dbase
 
 
-@functools.partial(jax.jit, static_argnames=("n", "Dcap", "rounds"))
-def fixup_dirty(val, tabs, lane_of, ddep, parent, n: int, Dcap: int,
-                rounds: int):
+@functools.partial(jax.jit, static_argnames=("n", "Dcaps"))
+def fixup_dirty(val, tabs, lane_of, ddep, parent, n: int,
+                Dcaps: tuple):
     """Resolve + sort dirty slices in chain-depth order, writing each
-    back contiguously from its start row. All Dcap-scale."""
+    back contiguously from its start row. Round r touches only the
+    spans of chain-depth-r nodes (Dcaps[r-1] padded slots), so total
+    work across rounds is one pass over the dirty spans."""
     S, G = val.shape
     F = jax.lax.bitcast_convert_type(val, I32).reshape(-1)   # [S*G]
     codes_f = tabs["codes"].reshape(-1)
     start_el, deg, span = tabs["start_el"], tabs["deg"], tabs["span"]
     dirty = tabs["kind"] == 1
-
-    node, k, valid, dbase = _expand_spans(start_el, span, dirty, Dcap)
-    rowf = (start_el[node] + k) * G + lane_of[node]
-    rowf = jnp.where(valid, rowf, 0)
-    code_s = jnp.where(valid, codes_f[rowf], C_HOLE)
-    is_el = (code_s == C_EL) | (code_s == C_FIRST) | (code_s == C_PLACE)
     startsF = start_el * G + lane_of
     pstartF = startsF[parent]
-
     BIG = jnp.int32(0x7FFFFFFF)
-    for r in range(1, rounds + 1):
-        live = valid & (ddep[node] == r)
+
+    for r, Dcap in enumerate(Dcaps, start=1):
+        mask = dirty & (ddep == r)
+        node, k, valid, dbase = _expand_spans(start_el, span, mask, Dcap)
+        rowf = (start_el[node] + k) * G + lane_of[node]
+        rowf = jnp.where(valid, rowf, 0)
+        code_s = jnp.where(valid, codes_f[rowf], C_HOLE)
+        is_el = ((code_s == C_EL) | (code_s == C_FIRST)
+                 | (code_s == C_PLACE))
         v = F[rowf]
-        j = v
-        src = jnp.clip(pstartF[node] + j * G, 0, S * G - 1)
-        v = jnp.where(live & (code_s == C_PLACE), F[src], v)
-        key = jnp.where(live & is_el, v, BIG)
+        src = jnp.clip(pstartF[node] + v * G, 0, S * G - 1)
+        v = jnp.where(valid & (code_s == C_PLACE), F[src], v)
+        key = jnp.where(valid & is_el, v, BIG)
         # group by node (already node-ordered), sort values inside each
-        # group: one 2-key sort over Dcap
+        # group: one 2-key sort over this round's spans
         snode, sv = jax.lax.sort((node, key), num_keys=2)
         rank_in = jnp.arange(Dcap, dtype=I32) - dbase[snode]
         dest = startsF[snode] + rank_in * G
-        put = (sv != BIG) & (rank_in < deg[snode]) & (ddep[snode] == r)
+        put = (sv != BIG) & (rank_in < deg[snode]) & mask[snode]
         F = F.at[jnp.where(put, dest, S * G)].set(sv, mode="drop")
     return F.reshape(S, G)
+
+
+@functools.partial(jax.jit, static_argnames=("n", "Dcaps"))
+def _post_fused(val, xch, nib, lane_of, ddep, parent, n: int,
+                Dcaps: tuple):
+    """extract + fixup as ONE device program (each dispatch costs a
+    ~26 ms relay round trip on axon; the steady state must be a single
+    dispatch after the kernel's)."""
+    tabs = extract_node_tables(val, xch, nib, lane_of, n)
+    G = val.shape[1]
+    if Dcaps:
+        succs2d = fixup_dirty(val, tabs, lane_of, ddep, parent, n, Dcaps)
+    else:
+        succs2d = jax.lax.bitcast_convert_type(val, I32)
+    starts_flat = tabs["start_el"] * G + lane_of
+    return succs2d, starts_flat, tabs["deg"], tabs
 
 
 def postprocess(val, xch, nib, lane_of_np, lane_starts_np, n: int,
                 meta_cache: dict | None = None):
     """Full post-pass: channels -> (succs2d i32, starts_flat, degs,
-    tabs). meta_cache (mutated) caches Dcap/rounds so the steady state
+    tabs). meta_cache (mutated) caches Dcaps/rounds so the steady state
     issues a fixed program with no data-dependent shapes."""
+    mc0 = meta_cache if meta_cache is not None else {}
+    if "ddep_d" in mc0:
+        return _post_fused(val, xch, nib, mc0["lane_of_d"], mc0["ddep_d"],
+                           mc0["parent_d"], n, mc0["Dcaps"])
     lane_of = jnp.asarray(lane_of_np)
     tabs = extract_node_tables(val, xch, nib, lane_of, n)
     mc = meta_cache if meta_cache is not None else {}
@@ -191,11 +232,13 @@ def postprocess(val, xch, nib, lane_of_np, lane_starts_np, n: int,
         span = np.asarray(tabs["span"])
         parent = np.maximum(np.arange(n) - ref, 0)
         dirty = kind == 1
+        hasref = ref > 0
         # dirty-chain depth (n-scale, host, one-time per artifact):
-        # clean = 0; dirty = 1 + depth of (possibly dirty) parent
+        # clean = 0; dirty = 1 + depth of the (possibly dirty) parent;
+        # ref == 0 dirty nodes (queue overflow) have no parent: depth 1
         ddep = np.where(dirty, 1, 0).astype(np.int32)
         for _ in range(64):
-            upd = dirty & (ddep <= ddep[parent])
+            upd = dirty & hasref & (ddep <= ddep[parent])
             if not upd.any():
                 break
             ddep = np.where(upd, ddep[parent] + 1, ddep)
@@ -204,16 +247,14 @@ def postprocess(val, xch, nib, lane_of_np, lane_starts_np, n: int,
         mc["ddep"] = ddep
         mc["parent"] = parent.astype(np.int32)
         mc["rounds"] = int(ddep.max())
-        mc["Dcap"] = _quant(int(span[dirty].sum()) + 1)
-    if mc["rounds"] > 0:
-        succs2d = fixup_dirty(
-            val, tabs, lane_of, jnp.asarray(mc["ddep"]),
-            jnp.asarray(mc["parent"]), n, mc["Dcap"], mc["rounds"])
-    else:
-        succs2d = jax.lax.bitcast_convert_type(val, I32)
-    G = val.shape[1]
-    starts_flat = tabs["start_el"] * G + lane_of
-    return succs2d, starts_flat, tabs["deg"], tabs
+        mc["Dcaps"] = tuple(
+            _quant(int(span[dirty & (ddep == r)].sum()) + 1)
+            for r in range(1, mc["rounds"] + 1))
+    mc["lane_of_d"] = lane_of
+    mc["ddep_d"] = jnp.asarray(mc["ddep"])
+    mc["parent_d"] = jnp.asarray(mc["parent"])
+    return _post_fused(val, xch, nib, lane_of, mc["ddep_d"],
+                       mc["parent_d"], n, mc["Dcaps"])
 
 
 def to_host_lists(succs2d, starts_flat, degs, n: int):

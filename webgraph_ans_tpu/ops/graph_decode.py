@@ -13,9 +13,9 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..bvgraph.random_access import ANSBvGraph
-from .decode_jax import (ROW_SHIFT, DecoderTables, build_decoder_tables_np,
-                         decode_blocks, fetch_block_tokens, round_cap,
-                         seed_rings)
+from .decode_jax import (ROW_SHIFT, UNROLL, DecoderTables,
+                         build_decoder_tables_np, decode_blocks,
+                         fetch_block_tokens, round_cap, seed_rings)
 
 
 class TpuGraphDecoder:
@@ -534,3 +534,238 @@ class TpuGraphDecoder:
         meta_cache = self.plan(num_lanes).setdefault("recon_meta", {})
         return reconstruct_device(out, self.num_nodes, self.num_arcs, cap,
                                   self.min_interval, meta_cache)
+
+    # ------------------------------------------------------------------
+    # Merged-emit pipeline (round 4): decode + reconstruction fused in
+    # one kernel (ops/emit_pallas.py), post-processed by ops/emit_post.
+    # ------------------------------------------------------------------
+
+    # output-ring rows for the merged-emit kernel: copy sources older
+    # than this many emitted rows make the node dirty (fixup-resolved).
+    # VMEM: ring = T * Gc * 4 (scratch) + slab smaxp * Gc * 4 (x2
+    # double-buffered); the chunking rule in _emit_plan sizes Gc so both
+    # fit. T=512 covers all but ~0.3% of cnr's reference windows.
+    EMIT_RING_T = 512
+    EMIT_RING_LIMIT = 2 << 20
+    EMIT_SLAB_LIMIT = 2 << 20
+
+    def _emit_bounds(self, num_lanes: int):
+        """Lane bounds for the merged-emit kernel. First call: the
+        stream-balanced block bounds. Once per-node degrees are known
+        (cached from a decode), a minmax split over (elements + 2*nodes)
+        — the kernel's step estimate — replaces them."""
+        pl = self._plans.setdefault(("emit", num_lanes), {})
+        if "bounds" in pl:
+            return pl["bounds"]
+        degs = pl.get("degs_np")
+        if degs is None:
+            starts, ends = self._block_bounds(num_lanes)
+            return starts, ends
+        n = self.num_nodes
+        offs = np.concatenate([[0], np.cumsum(degs, dtype=np.int64)])
+        work = offs + 2.0 * np.arange(n + 1)
+
+        def split(target):
+            blist = [0]
+            acc = 0.0
+            for x in range(n):
+                w = work[x + 1] - work[x]
+                if acc + w > target and x > blist[-1]:
+                    if len(blist) == num_lanes:
+                        return None
+                    blist.append(x)
+                    acc = 0.0
+                acc += w
+            while len(blist) < num_lanes + 1:
+                blist.append(n)
+            return np.array(blist, np.int64)
+
+        lo = float(work[-1]) / num_lanes
+        hi = lo * 8 + float(np.max(degs, initial=0)) + 4096
+        for _ in range(40):
+            mid = (lo + hi) / 2
+            if split(mid) is None:
+                lo = mid
+            else:
+                hi = mid
+        bounds = split(hi)
+        blocks = self.graph.prelude.blocks
+        if blocks is not None:
+            # a decode lane must not cross an encode-block boundary (the
+            # rANS state resets there), so snap every bound to a block
+            # start (element balance then picks among block starts)
+            ent = np.unique(np.concatenate(
+                [[0], np.asarray(blocks[0], np.int64), [n]]))
+            bounds = ent[np.minimum(np.searchsorted(ent, bounds),
+                                    len(ent) - 1)]
+            bounds[0], bounds[-1] = 0, n
+            bounds = np.maximum.accumulate(bounds)
+        elif self.phase_step > 1:
+            ent, _, _ = self._entries()
+            bounds = ent[np.minimum(np.searchsorted(ent, bounds),
+                                    len(ent) - 1)]
+            bounds[0], bounds[-1] = 0, n
+            bounds = np.maximum.accumulate(bounds)
+        starts = bounds[:-1].copy()
+        ends = bounds[1:].copy()
+        pl["bounds"] = (starts, ends)
+        return starts, ends
+
+    def _emit_plan(self, num_lanes: int):
+        """Plan for decode_emit_pallas: slab + emit register file on the
+        merged-emit lane bounds."""
+        from . import decode_pallas as dp
+        from . import emit_pallas as ep
+
+        pl = self._plans.setdefault(("emit", num_lanes), {})
+        if "init" in pl:
+            return pl
+        starts, ends = self._emit_bounds(num_lanes)
+        starts = np.asarray(starts, np.int64)
+        ends = np.asarray(ends, np.int64)
+        base, rel = self._lane_bases(starts, ends)
+        W = self.window
+        n = self.num_nodes
+        if W > 0 and self.phase_step > 1:
+            ring = jnp.asarray(self._rings_via_native(starts, W))
+        elif W > 0:
+            pre = starts[:, None] - W + np.arange(W)[None, :]
+            pre_cl = np.clip(pre, 0, n - 1)
+            seed_rel = (self.pointers[pre_cl]
+                        - (base.astype(np.int64) << ROW_SHIFT)[:, None])
+            ring = seed_rings(
+                self.params, self.tables,
+                jnp.asarray(self.states_np[pre_cl]),
+                jnp.asarray(seed_rel.astype(np.int32)),
+                jnp.asarray(starts), W, jnp.asarray(base))
+        else:
+            ring = jnp.zeros((len(starts), 1), jnp.int32)
+        if self.phase_step == 1:
+            entry_states = self.states_np[np.minimum(starts, n - 1)]
+        else:
+            entry_states, _ = self._entry_lookup(starts)
+        entry_abs = ((base.astype(np.int64) << ROW_SHIFT)
+                     + rel.astype(np.int64))
+        if self.phase_step == 1:
+            end_abs = np.where(ends < n,
+                               self.pointers[np.minimum(ends, n - 1)], 0)
+        else:
+            _, end_ptr = self._entry_lookup(np.where(ends < n, ends, n))
+            end_abs = np.where(ends < n, end_ptr, 0)
+        empty = starts >= ends
+        entry_abs = np.where(empty, 0, entry_abs)
+        end_abs = np.where(empty, 0, end_abs)
+        seg_base, smaxp = dp.plan_segments(entry_abs, end_abs,
+                                           self.params[10])
+        L = len(starts)
+        # chunk lanes so BOTH the stream slab and the T-row output ring
+        # fit VMEM: chunk width Gc must satisfy smaxp*Gc*4 <= slab
+        # budget (double-buffered) and T*Gc*4 <= ring budget (scratch,
+        # single-buffered)
+        nch = None
+        for cand in range(1, L // 128 + 2):
+            quantum = 128 * cand
+            gpad_c = -(-L // quantum) * quantum
+            gc = gpad_c // cand
+            if (smaxp * gc * 4 <= self.EMIT_SLAB_LIMIT
+                    and self.EMIT_RING_T * gc * 4 <= self.EMIT_RING_LIMIT):
+                nch, gpad = cand, gpad_c
+                break
+        if nch is None:
+            pl["init"] = None
+            return pl
+        seg_pad = np.zeros(gpad, seg_base.dtype)
+        seg_pad[:len(seg_base)] = seg_base
+        if len(self.tables.stream_rows.reshape(-1)) < 1 << 31:
+            seg_pad = seg_pad.astype(np.int32)
+        slab = dp.build_slab(self.tables.stream_rows,
+                             jnp.asarray(seg_pad), smaxp, gpad // nch)
+        rel_seg = entry_abs - 2 * seg_base
+        init = ep.make_emit_init_regs(
+            jnp.asarray(entry_states), jnp.asarray(rel_seg.astype(np.int32)),
+            starts, ends, ring, W, pad_to_lanes=gpad, num_chunks=nch)
+        if not hasattr(self, "_pallas_lut"):
+            self._pallas_lut = dp.build_pallas_lut(self.params, self.lut_np)
+        if "degs_np" in pl:
+            offs = np.concatenate(
+                [[0], np.cumsum(pl["degs_np"], dtype=np.int64)])
+            le = offs[ends] - offs[starts]
+            est = int((le + 2 * (ends - starts)).max() * 1.12) + 64
+        else:
+            est = int((self.num_arcs * 1.35 + 3 * n) / max(L, 1) * 2.2) + 64
+        pl.update(init=init, slab=slab, lut=self._pallas_lut[0],
+                  starts_np=starts, ends_np=ends,
+                  cap=-(-est // UNROLL) * UNROLL)
+        return pl
+
+    def decode_emit_raw(self, num_lanes: int = 2048, cap: int | None = None,
+                        check: bool = True):
+        """Merged-emit kernel decode: returns (val, xch, nib, cap) device
+        channels (ops/emit_post contract). check=False skips the
+        completion verification fetch (steady-state serving)."""
+        import os
+
+        from .emit_pallas import decode_emit_pallas
+
+        pl = self._emit_plan(num_lanes)
+        if pl.get("init") is None:
+            raise RuntimeError("merged-emit plan infeasible (slab budget)")
+        interp = os.environ.get("WGT_PALLAS") == "interpret"
+        auto = cap is None
+        cap = pl["cap"] if auto else -(-cap // UNROLL) * UNROLL
+        while True:
+            val, xch, nib, rows, ok, diag = decode_emit_pallas(
+                self.params, pl["lut"], pl["slab"], pl["init"],
+                self.window, self.min_interval, cap,
+                T=self.EMIT_RING_T, interpret=interp)
+            L = len(pl["starts_np"])
+            val, xch, nib = val[:, :L], xch[:, :L], nib[:, :L]
+            if not check:
+                break
+            rows_np = np.asarray(rows[:L])
+            if bool(np.all(np.asarray(ok[:L]))):
+                if auto:
+                    # remember the true step need; the steady state then
+                    # runs a tight cap (all post-pass stages are P-scale)
+                    pl["cap"] = -(-max(int(rows_np.max()), UNROLL)
+                                  // UNROLL) * UNROLL
+                break
+            cap *= 2
+            if auto:
+                pl["cap"] = cap
+        return val, xch, nib, cap
+
+    def decode_to_adjacency_device(self, num_lanes: int = 2048,
+                                   rebalance: bool = True):
+        """End-to-end merged-emit decode: one kernel + the emit post-pass.
+        Returns (succs2d [cap, L] i32 device, starts_flat [n] i32 device,
+        degs [n] i32 device): node x's successors are
+        succs2d.flat[starts_flat[x] + k*num_lanes] for k < degs[x]
+        (column-major padded adjacency; emit_post.to_dense_csr converts).
+        """
+        from . import emit_post
+
+        pl0 = self._plans.setdefault(("emit", num_lanes), {})
+        # steady state: cap known + plan verified once -> zero host syncs
+        check = not pl0.get("verified")
+        val, xch, nib, cap = self.decode_emit_raw(num_lanes, check=check)
+        pl = self._plans[("emit", num_lanes)]
+        if "lane_of" not in pl:
+            starts = pl["starts_np"]
+            lane_of = np.zeros(self.num_nodes, np.int32)
+            for li in range(len(starts)):
+                lane_of[starts[li]:pl["ends_np"][li]] = li
+            pl["lane_of"] = lane_of
+        mc = pl.setdefault("post_meta", {})
+        succs2d, starts_flat, degs, tabs = emit_post.postprocess(
+            val, xch, nib, pl["lane_of"], pl["starts_np"], self.num_nodes,
+            meta_cache=mc)
+        if rebalance and "degs_np" not in pl and "bounds" not in pl:
+            # cache degrees and rebalance the lane split once; the next
+            # call rebuilds the plan on element-balanced bounds
+            pl["degs_np"] = np.asarray(degs)
+            for k in ("init", "slab", "cap", "post_meta", "lane_of"):
+                pl.pop(k, None)
+        elif not pl.get("verified"):
+            pl["verified"] = True
+        return succs2d, starts_flat, degs
