@@ -53,10 +53,29 @@ def main():
     arcs = g.num_arcs
 
     # cap comes from the parent (tighten_cap costs a decode; the parent
-    # already knows the tight cap for the artifact)
-    cap = int(os.environ["WGT_BENCH_CAP"])
+    # already knows the tight cap for the artifact); the emit mode
+    # self-plans (its plan path is warmup, not measurement)
+    cap = int(os.environ.get("WGT_BENCH_CAP", "0")) or None
 
-    if mode in ("pallas", "xla"):
+    if mode == "emit":
+        # merged-emit pipeline: decode + in-kernel reconstruction ->
+        # padded device adjacency (+ fused post-pass)
+        s2d, st, dgs = dec.decode_to_adjacency_device(num_lanes=L)
+        jax.block_until_ready(s2d)
+        s2d, st, dgs = dec.decode_to_adjacency_device(num_lanes=L)
+        jax.block_until_ready(s2d)
+
+        def run():
+            s2d, st, dgs = dec.decode_to_adjacency_device(num_lanes=L)
+            return dgs[-8:]
+    elif mode == "emitk":
+        # merged-emit kernel alone (plan warmed via the full pipeline)
+        s2d, st, dgs = dec.decode_to_adjacency_device(num_lanes=L)
+        jax.block_until_ready(s2d)
+        s2d, st, dgs = dec.decode_to_adjacency_device(num_lanes=L)
+        jax.block_until_ready(s2d)
+        run = lambda: dec.decode_emit_raw(L, check=False)[0][:1]
+    elif mode in ("pallas", "xla"):
         if mode == "xla":
             os.environ["WGT_PALLAS"] = "0"
         run = lambda: dec.decode_raw(L, cap, check=False)[1][:1]

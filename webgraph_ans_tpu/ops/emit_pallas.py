@@ -53,7 +53,7 @@ C_DONE = 0xF
 
 # queue capacities (register rows; over-capacity nodes go dirty via the
 # early-meta rule, so these bound VMEM, not correctness)
-QC, QI, QR, QN = 10, 10, 12, 4
+QC, QI, QR, QN = 16, 16, 12, 4
 
 # decode-side register rows
 (D_STATE, D_PTR, D_LEFT, D_PHASE, D_D, D_BC, D_BREM, D_BIDX, D_BSUM,
@@ -62,10 +62,10 @@ QC, QI, QR, QN = 10, 10, 12, 4
  # emission-side rows
  E_ACTIVE, E_X, E_XMOD, E_D, E_REF, E_DIRTY, E_EMITTED, E_FIRST,
  E_PBASE, E_CCJ, E_CCLEFT, E_CSRC, E_CIVAL, E_CILEFT, E_DONEROW,
- E_LSTART,
+ E_LSTART, E_RSTART,
  # queue counters
- N_QC, N_QI, N_QR, N_QN) = range(42)
-NFIX = 42
+ N_QC, N_QI, N_QR, N_QN) = range(43)
+NFIX = 43
 
 
 def _layout(window: int):
@@ -80,7 +80,7 @@ def _layout(window: int):
     qi0 = qc0 + 2 * QC
     qr0 = qi0 + 2 * QI
     qn0 = qr0 + 2 * QR
-    nreg = qn0 + 2 * QN
+    nreg = qn0 + 3 * QN
     return degring, basering, dirtyring, qc0, qi0, qr0, qn0, nreg
 
 
@@ -90,25 +90,28 @@ def _pl():
     return pl, pltpu
 
 
-def _qpush(t, q0, Q, cnt, do, a, b):
-    """One-hot enqueue of (a, b) at position cnt where `do`; returns
-    (t, new cnt). Entries are row pairs (q0 + 2k, q0 + 2k + 1)."""
+def _qpush(t, q0, Q, cnt, do, a, b, c=None, width=2):
+    """One-hot enqueue of (a, b[, c]) at position cnt where `do`;
+    returns (t, new cnt). Entries are `width` consecutive rows."""
     t = list(t)
     for k in range(Q):
         sel = do & (cnt == k)
-        t[q0 + 2 * k] = jnp.where(sel, a, t[q0 + 2 * k])
-        t[q0 + 2 * k + 1] = jnp.where(sel, b, t[q0 + 2 * k + 1])
+        t[q0 + width * k] = jnp.where(sel, a, t[q0 + width * k])
+        t[q0 + width * k + 1] = jnp.where(sel, b, t[q0 + width * k + 1])
+        if width > 2:
+            t[q0 + width * k + 2] = jnp.where(sel, c,
+                                              t[q0 + width * k + 2])
     return t, cnt + do.astype(I32)
 
 
-def _qshift(t, q0, Q, cnt, do):
+def _qshift(t, q0, Q, cnt, do, width=2):
     """Dequeue the front entry where `do` (shift down); returns
     (t, new cnt)."""
     t = list(t)
     for k in range(Q - 1):
-        t[q0 + 2 * k] = jnp.where(do, t[q0 + 2 * k + 2], t[q0 + 2 * k])
-        t[q0 + 2 * k + 1] = jnp.where(do, t[q0 + 2 * k + 3],
-                                      t[q0 + 2 * k + 1])
+        for f in range(width):
+            t[q0 + width * k + f] = jnp.where(
+                do, t[q0 + width * (k + 1) + f], t[q0 + width * k + f])
     return t, cnt - do.astype(I32)
 
 
@@ -157,11 +160,17 @@ def _step(params: CodecParams, lut, slab_ref, ring_sc, t, window: int,
                   | (p == P_IL) | (p == P_FR))
     qfull_n = meta_phase & meta_unsent & (qn_n > QN - 1)
     stall = active & (qfull_c | qfull_i | qfull_r | qfull_n)
-    early = active & meta_unsent & (qn_n <= QN - 1) & (qfull_c | qfull_i)
+    # early dirty meta ONLY on true self-deadlock: the run queues are
+    # full, the node's meta is unsent, and emission is idle waiting for
+    # it (a congested queue with emission mid-node always drains; going
+    # dirty there would smear dirt over perfectly resolvable nodes)
+    early = active & meta_unsent & (qfull_c | qfull_i) \
+        & (g(E_ACTIVE) == 0) & (qn_n == 0)
     # early dirty meta: (d, (ref<<10) | (1<<9) | tag)
     tagd = g(D_X) & 0xFF
     t, qn_n = _qpush(t, qn0, QN, qn_n, early,
-                     g(D_D), (g(D_REF) << 10) | (1 << 9) | tagd)
+                     g(D_D), (g(D_REF) << 10) | (1 << 9) | tagd,
+                     jnp.zeros_like(tagd), width=3)
     metasent = jnp.where(early, 1, g(D_METASENT))
 
     dec_active = active & ~stall
@@ -285,7 +294,7 @@ def _step(params: CodecParams, lut, slab_ref, ring_sc, t, window: int,
     # meta: first residual, or node end without residuals
     push_meta = (is_fr | node_done) & (metasent == 0)
     t, qn_n = _qpush(t, qn0, QN, qn_n, push_meta,
-                     d, (refreg << 10) | tagd)
+                     d, (refreg << 10) | tagd, copied, width=3)
     metasent = jnp.where(push_meta, 1, metasent)
     metasent = jnp.where(node_done, 0, metasent)
 
@@ -318,6 +327,7 @@ def _step(params: CodecParams, lut, slab_ref, ring_sc, t, window: int,
     can_pop = ~em_active & (qn_n > 0)
     md = g(qn0)
     mp = g(qn0 + 1)
+    mncop = g(qn0 + 2)
     mref = mp >> 10
     mdirty0 = (mp >> 9) & 1
     parent = ex - mref
@@ -333,11 +343,19 @@ def _step(params: CodecParams, lut, slab_ref, ring_sc, t, window: int,
     qc_front_tag = g(qc0 + 1) >> 20
     qc_match_pop = (qc_n > 0) & (qc_front_tag == tagx)
     firstsrc = pbase + g(qc0)
+    # ring-overflow bound: the c-th copy is read at most
+    # (non-copy elements) rows after its source entered the ring, so
+    # only d - ncop (not d) extends the reach past the window distance
     tover = hasref & qc_match_pop & \
-        ((row_now + md - firstsrc) > (T - UNROLL))
+        ((row_now + md - mncop - firstsrc) > (T - UNROLL))
     dirty = (mdirty0 != 0) | (hasref & ((ptaint != 0) | crossl)) | tover
+    # refinfo code carries the dirty cause for diagnostics:
+    # 3 = queue overflow (early meta), 7 = cross-lane, 8 = taint, 9 = ring
+    dcause = jnp.where(mdirty0 != 0, C_REFINFO,
+                       jnp.where(hasref & crossl, 7,
+                                 jnp.where(hasref & (ptaint != 0), 8, 9)))
     empty = md == 0
-    t, qn_n = _qshift(t, qn0, QN, qn_n, can_pop)
+    t, qn_n = _qshift(t, qn0, QN, qn_n, can_pop, width=3)
 
     popped_clean = can_pop & ~empty & ~dirty
     popped_dirty = can_pop & ~empty & dirty
@@ -432,12 +450,15 @@ def _step(params: CodecParams, lut, slab_ref, ring_sc, t, window: int,
 
     # ---- output row ----
     lane_done = (t[D_PHASE] == P_DONE) & ~em_active3 & (qn_n == 0)
-    code = jnp.full(shape, C_HOLE, i32)
-    code = jnp.where(emitted, jnp.where(
+    halo = ex < g(E_RSTART)     # halo nodes: emitted (ring-visible,
+    code = jnp.full(shape, C_HOLE, i32)  # ancestors of real nodes) but
+    code = jnp.where(emitted, jnp.where(  # never marked for the post
         emit_c & (e_dirty != 0), C_PLACE,
-        jnp.where((e_first != 0) & (e_dirty == 0), C_FIRST, C_EL)), code)
-    code = jnp.where(popped_dirty, C_REFINFO, code)
-    code = jnp.where(popped_empty, C_EMPTY, code)
+        jnp.where((e_first != 0) & (e_dirty == 0) & ~halo,
+                  C_FIRST, C_EL)), code)
+    code = jnp.where(popped_dirty & ~halo, dcause, code)
+    code = jnp.where((popped_dirty | popped_empty) & halo, C_HOLE, code)
+    code = jnp.where(popped_empty & ~halo, C_EMPTY, code)
     code = jnp.where(lane_done & ~emitted & ~can_pop, C_DONE, code)
     out_v = jnp.where(popped_dirty, e_ref, out_v)
     out_x = ex          # node id at pop time; read only on marker rows
@@ -571,7 +592,7 @@ def decode_emit_pallas(params: CodecParams, lut, slab, init_regs,
 
 def make_emit_init_regs(states, rel_ptrs, starts, ends, ring,
                         window: int, pad_to_lanes: int | None = None,
-                        num_chunks: int = 1):
+                        num_chunks: int = 1, real_starts=None):
     """Initial register file for decode_emit_pallas, device-built (no
     host fetches). Same lane layout as make_init_regs_device."""
     R = window + 1
@@ -580,6 +601,9 @@ def make_emit_init_regs(states, rel_ptrs, starts, ends, ring,
     rel_ptrs = jnp.asarray(rel_ptrs, jnp.int32)
     starts = jnp.asarray(np.asarray(starts).astype(np.int64)
                          .astype(np.int32))
+    if real_starts is not None:
+        real_starts = jnp.asarray(
+            np.asarray(real_starts).astype(np.int64).astype(np.int32))
     ends = jnp.asarray(np.asarray(ends).astype(np.int64).astype(np.int32))
     ring = jnp.asarray(ring, jnp.int32)
     L = states.shape[0]
@@ -608,6 +632,8 @@ def make_emit_init_regs(states, rel_ptrs, starts, ends, ring,
     regs = put(E_X, starts)
     regs = put(E_XMOD, (starts % R).astype(jnp.int32))
     regs = put(E_LSTART, starts)
+    regs = put(E_RSTART, real_starts if real_starts is not None
+               else starts)
     degring = _layout(window)[0]
     regs = regs.at[degring:degring + R, :L].set(ring.T)
     return jnp.transpose(

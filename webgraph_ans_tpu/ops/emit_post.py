@@ -83,20 +83,23 @@ def extract_node_tables(val, xch, nib, lane_of, n: int):
     S, G = val.shape
     codes = unpack_nib(nib, S)
     is_elem = (codes == C_EL) | (codes == C_FIRST) | (codes == C_PLACE)
-    is_marker = (codes == C_FIRST) | (codes == C_REFINFO) | (codes == C_EMPTY)
+    is_refinfo = ((codes == C_REFINFO) | (codes == 7) | (codes == 8)
+                  | (codes == 9))   # refinfo variants carry dirty cause
+    is_marker = (codes == C_FIRST) | is_refinfo | (codes == C_EMPTY)
 
     rows = jax.lax.broadcasted_iota(I32, (S, G), 0)
     # exclusive element rank in column (token) order
     rank = _cumsum_tok(is_elem.astype(I32)) - is_elem.astype(I32)
 
-    kind = jnp.where(codes == C_FIRST, 0,
-                     jnp.where(codes == C_REFINFO, 1, 2))
+    kind = jnp.where(codes == C_FIRST, 0, jnp.where(is_refinfo, 1, 2))
+    cause = jnp.where(is_refinfo, codes, 0)
     idx = jnp.where(is_marker,
                     jax.lax.bitcast_convert_type(xch, I32), n)
-    packed = (rows << 2) | kind
+    packed = (rows << 6) | (cause << 2) | kind
     mrow_p = jnp.zeros(n + 1, I32).at[idx.reshape(-1)].set(
         packed.reshape(-1), mode="drop")
-    mrow, mkind = mrow_p[:n] >> 2, mrow_p[:n] & 3
+    mrow, mkind = mrow_p[:n] >> 6, mrow_p[:n] & 3
+    mcause = (mrow_p[:n] >> 2) & 0xF
 
     # n-scale gathers back into the 2D arrays at the marker rows
     flat = mrow * G + lane_of
@@ -118,7 +121,8 @@ def extract_node_tables(val, xch, nib, lane_of, n: int):
     span = jnp.where(next_same_lane, nxt_mrow, S) - start_el
     ok = jnp.all(deg >= 0) & jnp.all(span >= deg)
     return dict(start_el=start_el, deg=deg, kind=mkind, ref=ref,
-                span=span, rank_at=rank_at, codes=codes, ok=ok)
+                cause=mcause, span=span, rank_at=rank_at, codes=codes,
+                ok=ok)
 
 
 def _cummax(x, BK=1 << 13):

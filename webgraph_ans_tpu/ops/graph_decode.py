@@ -545,8 +545,8 @@ class TpuGraphDecoder:
     # VMEM: ring = T * Gc * 4 (scratch) + slab smaxp * Gc * 4 (x2
     # double-buffered); the chunking rule in _emit_plan sizes Gc so both
     # fit. T=512 covers all but ~0.3% of cnr's reference windows.
-    EMIT_RING_T = 512
-    EMIT_RING_LIMIT = 2 << 20
+    EMIT_RING_T = 512          # first-decode default (power of two)
+    EMIT_RING_LIMIT = 4 << 20
     EMIT_SLAB_LIMIT = 2 << 20
 
     def _emit_bounds(self, num_lanes: int):
@@ -562,26 +562,40 @@ class TpuGraphDecoder:
             starts, ends = self._block_bounds(num_lanes)
             return starts, ends
         n = self.num_nodes
+        safe = pl.get("safe_np")
         offs = np.concatenate([[0], np.cumsum(degs, dtype=np.int64)])
         work = offs + 2.0 * np.arange(n + 1)
+        # halo re-decode cost per potential boundary (only when safe
+        # boundaries are unavailable and a halo is used; see _emit_plan)
+        Hsp = 4 * self.window if (self.phase_step == 1
+                                  and self.graph.prelude.blocks is None
+                                  and self.window > 0
+                                  and safe is None) else 0
+        halo_el = offs - offs[np.maximum(np.arange(n + 1) - Hsp, 0)]
 
         def split(target):
             blist = [0]
-            acc = 0.0
+            acc = float(halo_el[0])
             for x in range(n):
-                w = work[x + 1] - work[x]
-                if acc + w > target and x > blist[-1]:
+                w = work[x + 1] - work[x]          # cost of node x
+                # prefer safe boundaries; inside long unsafe stretches
+                # (dense reference regions) force an unsafe one at 1.5x
+                # target - a handful of cross-lane dirty nodes beats a
+                # multi-thousand-step straggler lane
+                close = acc + w > target and (safe is None or safe[x])
+                close |= acc + w > 1.5 * target
+                if close and x > blist[-1]:
                     if len(blist) == num_lanes:
                         return None
                     blist.append(x)
-                    acc = 0.0
+                    acc = float(halo_el[x])
                 acc += w
             while len(blist) < num_lanes + 1:
                 blist.append(n)
             return np.array(blist, np.int64)
 
         lo = float(work[-1]) / num_lanes
-        hi = lo * 8 + float(np.max(degs, initial=0)) + 4096
+        hi = lo * 8 + float(np.max(degs, initial=0) + halo_el.max()) + 4096
         for _ in range(40):
             mid = (lo + hi) / 2
             if split(mid) is None:
@@ -620,12 +634,25 @@ class TpuGraphDecoder:
         pl = self._plans.setdefault(("emit", num_lanes), {})
         if "init" in pl:
             return pl
-        starts, ends = self._emit_bounds(num_lanes)
-        starts = np.asarray(starts, np.int64)
+        rstarts, ends = self._emit_bounds(num_lanes)
+        rstarts = np.asarray(rstarts, np.int64)
         ends = np.asarray(ends, np.int64)
-        base, rel = self._lane_bases(starts, ends)
         W = self.window
         n = self.num_nodes
+        # halo: decode 4*window extra nodes ahead of each lane so real
+        # nodes' reference chains resolve in-lane (halo emissions feed
+        # the ring but are never marked). Impossible across encode-block
+        # boundaries (the rANS state resets there) and on sampled
+        # artifacts (halo start must be an entry); insufficient halo
+        # just leaves cross-lane dirty nodes for the fixup - graceful.
+        if (self.phase_step == 1 and self.graph.prelude.blocks is None
+                and W > 0 and pl.get("safe_np") is None):
+            H = 4 * W
+        else:
+            H = 0
+        starts = np.where(rstarts >= ends, rstarts,
+                          np.maximum(rstarts - H, 0))
+        base, rel = self._lane_bases(starts, ends)
         if W > 0 and self.phase_step > 1:
             ring = jnp.asarray(self._rings_via_native(starts, W))
         elif W > 0:
@@ -658,6 +685,28 @@ class TpuGraphDecoder:
         seg_base, smaxp = dp.plan_segments(entry_abs, end_abs,
                                            self.params[10])
         L = len(starts)
+        # ring depth T: adaptive once degrees are known — copies reach
+        # back at most the window-degree-sum in output rows, so pick the
+        # smallest power-of-two T that leaves only a trace of dirty
+        # nodes (they cost fixup passes); bigger T costs VMEM, which
+        # costs chunk width, which costs sequential grid steps.
+        T = self.EMIT_RING_T
+        degs = pl.get("degs_np")
+        if degs is not None:
+            W2 = max(W, 1)
+            cs = np.concatenate([[0], np.cumsum(degs, dtype=np.int64)])
+            ws = cs[W2:] - cs[:-W2] if len(cs) > W2 else cs[-1:]
+            # ring depth costs VMEM -> chunk width -> sequential grid
+            # steps; escalate past Gc=1024-compatible depths only when
+            # ring overflow would leave more than ~1% of nodes dirty
+            for cand_t, budget in ((512, max(64, n // 2000)),
+                                   (1024, max(64, n // 100)),
+                                   (2048, max(64, n // 100)),
+                                   (4096, n)):
+                T = cand_t
+                if int((ws > cand_t).sum()) <= budget:
+                    break
+        pl["T"] = T
         # chunk lanes so BOTH the stream slab and the T-row output ring
         # fit VMEM: chunk width Gc must satisfy smaxp*Gc*4 <= slab
         # budget (double-buffered) and T*Gc*4 <= ring budget (scratch,
@@ -668,7 +717,7 @@ class TpuGraphDecoder:
             gpad_c = -(-L // quantum) * quantum
             gc = gpad_c // cand
             if (smaxp * gc * 4 <= self.EMIT_SLAB_LIMIT
-                    and self.EMIT_RING_T * gc * 4 <= self.EMIT_RING_LIMIT):
+                    and T * gc * 4 <= self.EMIT_RING_LIMIT):
                 nch, gpad = cand, gpad_c
                 break
         if nch is None:
@@ -683,20 +732,44 @@ class TpuGraphDecoder:
         rel_seg = entry_abs - 2 * seg_base
         init = ep.make_emit_init_regs(
             jnp.asarray(entry_states), jnp.asarray(rel_seg.astype(np.int32)),
-            starts, ends, ring, W, pad_to_lanes=gpad, num_chunks=nch)
+            starts, ends, ring, W, pad_to_lanes=gpad, num_chunks=nch,
+            real_starts=rstarts)
         if not hasattr(self, "_pallas_lut"):
             self._pallas_lut = dp.build_pallas_lut(self.params, self.lut_np)
         if "degs_np" in pl:
             offs = np.concatenate(
                 [[0], np.cumsum(pl["degs_np"], dtype=np.int64)])
-            le = offs[ends] - offs[starts]
+            le = offs[ends] - offs[starts]       # includes halo elements
             est = int((le + 2 * (ends - starts)).max() * 1.12) + 64
         else:
             est = int((self.num_arcs * 1.35 + 3 * n) / max(L, 1) * 2.2) + 64
         pl.update(init=init, slab=slab, lut=self._pallas_lut[0],
-                  starts_np=starts, ends_np=ends,
+                  starts_np=rstarts, ends_np=ends,
                   cap=-(-est // UNROLL) * UNROLL)
         return pl
+
+    def _safe_boundaries(self) -> np.ndarray:
+        """safe[x] == True iff no reference chain crosses a lane boundary
+        placed at x: suffix-min over ancestor-minima >= x. Parent table
+        from one aux-mode token decode (plan-time only)."""
+        from .reconstruct_device import parse_stats
+
+        n = self.num_nodes
+        out, counts, cap = self.decode_raw(2048, emit_aux=True)
+        st = parse_stats(out, n, cap, depth_iters=0)
+        parent = np.asarray(st["parent"]).astype(np.int64)
+        ref_mask = np.asarray(st["depth"]) > 0
+        am = np.arange(n, dtype=np.int64)
+        # ancestor-min resolves forward (parents precede children)
+        for _ in range(64):
+            upd = ref_mask & (am[parent] < am)
+            if not upd.any():
+                break
+            am = np.where(upd, am[parent], am)
+        sm = np.minimum.accumulate(am[::-1])[::-1]
+        safe = np.ones(n, bool)
+        safe[1:] = sm[1:] >= np.arange(1, n)
+        return safe
 
     def decode_emit_raw(self, num_lanes: int = 2048, cap: int | None = None,
                         check: bool = True):
@@ -717,7 +790,7 @@ class TpuGraphDecoder:
             val, xch, nib, rows, ok, diag = decode_emit_pallas(
                 self.params, pl["lut"], pl["slab"], pl["init"],
                 self.window, self.min_interval, cap,
-                T=self.EMIT_RING_T, interpret=interp)
+                T=pl.get("T", self.EMIT_RING_T), interpret=interp)
             L = len(pl["starts_np"])
             val, xch, nib = val[:, :L], xch[:, :L], nib[:, :L]
             if not check:
@@ -762,8 +835,18 @@ class TpuGraphDecoder:
             meta_cache=mc)
         if rebalance and "degs_np" not in pl and "bounds" not in pl:
             # cache degrees and rebalance the lane split once; the next
-            # call rebuilds the plan on element-balanced bounds
+            # call rebuilds the plan on element-balanced bounds placed at
+            # REFERENCE-SAFE nodes (no chain crosses the boundary -> no
+            # cross-lane dirty nodes, no halo re-decode)
             pl["degs_np"] = np.asarray(degs)
+            try:
+                pl["safe_np"] = self._safe_boundaries()
+            except Exception as e:   # noqa: BLE001 - safety net: bounds
+                import logging
+                logging.getLogger(__name__).warning(
+                    "safe-boundary computation failed (%r); "
+                    "falling back to halo re-decode", e)
+                pl["safe_np"] = None   # remain correct without it
             for k in ("init", "slab", "cap", "post_meta", "lane_of"):
                 pl.pop(k, None)
         elif not pl.get("verified"):
