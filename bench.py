@@ -48,10 +48,14 @@ def run_device_bench(base, mode, reps, lanes, env=None):
     e = dict(os.environ)
     if env:
         e.update(env)
-    out = subprocess.run(
-        [sys.executable, os.path.join(HERE, "tools", "bench_device.py"),
-         base, mode, str(reps), str(lanes)],
-        capture_output=True, text=True, env=e, timeout=1800)
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.join(HERE, "tools", "bench_device.py"),
+             base, mode, str(reps), str(lanes)],
+            capture_output=True, text=True, env=e, timeout=1800)
+    except subprocess.TimeoutExpired:
+        log(f"bench_device {mode} TIMED OUT (1800s)")
+        return None
     if out.returncode != 0:
         log(f"bench_device {mode} FAILED:\n{out.stderr[-2000:]}")
         return None
@@ -60,17 +64,15 @@ def run_device_bench(base, mode, reps, lanes, env=None):
 
 
 def main():
-    import jax
-    jax.config.update("jax_compilation_cache_dir",
-                      os.environ.get("WGT_JAX_CACHE", "/tmp/wgt_jax_cache"))
-
+    # The parent NEVER touches the device: an idle axon relay
+    # connection (while subprocesses use the chip) wedges permanently
+    # (observed round 3: the synth section hung the whole bench). All
+    # device work happens in per-measurement subprocesses.
+    os.environ.setdefault("WGT_JAX_CACHE", "/tmp/wgt_jax_cache")
     from webgraph_ans_tpu.bvgraph.graph import load_bvgraph
     from webgraph_ans_tpu.bvgraph.random_access import ANSBvGraph
     from webgraph_ans_tpu.bvgraph.sequential import ANSBvGraphSeq
     from webgraph_ans_tpu.bvgraph.store import store
-    from webgraph_ans_tpu.ops.graph_decode import TpuGraphDecoder
-
-    log("jax devices:", jax.devices())
 
     base = os.path.join(HERE, "tests", "data", "cnr-2000", "cnr-2000")
     tmp = tempfile.mkdtemp(prefix="wgt_bench_")
@@ -135,20 +137,18 @@ def main():
     cpu_ns = float(np.median(times)) / arcs * 1e9
     log(f"serial CPU decode: {np.median(times):.3f}s = {cpu_ns:.2f} ns/arc")
 
-    # Verification + plan parameters for the subprocess measurements:
-    # tight cap, reconstruction meta, bit-exactness of the full device
-    # pipeline (Pallas token decode + device reconstruction).
-    dec_tpu = TpuGraphDecoder(g)
+    # Plan parameters for the token-kernel subprocess measurements
+    # (tight caps + reconstruction meta + sort-path bit-exactness), from
+    # a subprocess of its own.
     t0 = time.time()
-    cap = dec_tpu.tighten_cap(L)
-    cap_aux = dec_tpu.tighten_cap(L, emit_aux=True)
-    offsets_d, succs_d, E = dec_tpu.decode_to_csr_device(num_lanes=L)
-    jax.block_until_ready(succs_d)
-    assert np.array_equal(np.asarray(succs_d[:E]).astype(np.uint32),
-                          adj.succs), "TPU decode not bit-exact"
-    log(f"bit-exact: True (warmup+verify {time.time() - t0:.2f}s, "
-        f"tight cap {cap}, aux cap {cap_aux})")
-    meta = dec_tpu.plan(L)["recon_meta"]["meta"]
+    planr = run_device_bench(out + "-blk", "plan", 1, L,
+                             {"WGT_BENCH_SRC": base})
+    if planr is None:
+        raise SystemExit("device plan subprocess failed")
+    cap, cap_aux, meta = planr["cap"], planr["cap_aux"], planr["meta"]
+    assert planr["bit_exact"], "TPU sort-path decode not bit-exact"
+    log(f"bit-exact (sort path): True (plan subprocess "
+        f"{time.time() - t0:.2f}s, tight cap {cap}, aux cap {cap_aux})")
 
     est_path = os.path.join(tmp, "est_tables.pkl")
     with open(est_path, "wb") as f:
@@ -190,9 +190,16 @@ def main():
            "WGT_BENCH_META": json.dumps([int(x) for x in meta]),
            "WGT_BENCH_SRC": base, "WGT_BENCH_EST": est_path}
     results = {}
-    for mode, reps in (("pallas", 7), ("e2e", 7), ("serve", 7),
-                       ("ondemand", 5), ("encode", 7), ("xla", 3)):
-        r = run_device_bench(blk, mode, reps, L, env)
+    modes = [("pallas", 7, blk), ("serve", 7, blk),
+             ("ondemand", 5, out), ("encode", 7, blk), ("xla", 3, blk)]
+    # merged-emit end-to-end decode -> device adjacency runs on the
+    # SERIAL artifact (per-node phases let lanes split anywhere; a lane
+    # must not cross encode-block boundaries)
+    modes.insert(1, ("emit", 7, out))
+    if os.environ.get("WGT_BENCH_E2E_SORT") == "1":
+        modes.insert(2, ("e2e", 7, blk))
+    for mode, reps, art in modes:
+        r = run_device_bench(art, mode, reps, L, env)
         if r is not None:
             results[mode] = r
             log(f"TPU {mode}: {r['sec_per_rep']*1e3:.1f} ms/rep = "
@@ -230,10 +237,13 @@ def main():
         "phases_bytes": phases_b,
         "phases_step8_bytes": ps8_b,
     }
-    if "e2e" in results:
-        e2e_ns = results["e2e"]["ns_per_arc"]
+    if "emit" in results:
+        e2e_ns = results["emit"]["ns_per_arc"]
         payload["e2e_ns_per_arc"] = round(e2e_ns, 2)
         payload["e2e_vs_baseline"] = round(cpu_ns / e2e_ns, 3)
+    if "e2e" in results:
+        payload["e2e_sort_ns_per_arc"] = round(
+            results["e2e"]["ns_per_arc"], 2)
     if "serve" in results:
         payload["random_tpu_serve_ns_per_arc"] = round(
             results["serve"]["ns_per_arc"], 2)
@@ -310,10 +320,9 @@ def bench_hc(base, tmp, adj):
 
 
 def bench_synth(run_device_bench):
-    """Builds (or reuses) the cached synthetic fixture, verifies the
-    chunked TPU decode bit-exact, and measures kernel + e2e + serial CPU
-    on it. Returns payload keys prefixed synth_*."""
-    import jax
+    """Builds (or reuses) the cached synthetic fixture; serial-CPU
+    baseline in-process (native code, no device), device measurements in
+    per-mode subprocesses. Returns payload keys prefixed synth_*."""
     import numpy as np
 
     from webgraph_ans_tpu.ans.prelude import save_pointers, save_states
@@ -321,7 +330,6 @@ def bench_synth(run_device_bench):
     from webgraph_ans_tpu.bvgraph.sequential import ANSBvGraphSeq
     from webgraph_ans_tpu.bvgraph.store import compress_adjacency
     from webgraph_ans_tpu.bvgraph.synth import synth_web_graph
-    from webgraph_ans_tpu.ops.graph_decode import TpuGraphDecoder
 
     N = int(os.environ.get("WGT_BENCH_SYNTH_NODES", "4000000"))
     SEED = 7
@@ -364,30 +372,29 @@ def bench_synth(run_device_bench):
     log(f"synth serial CPU decode: {np.median(times):.3f}s = "
         f"{cpu_ns:.2f} ns/arc")
 
-    dec = TpuGraphDecoder(g)
-    pp = dec._pallas_plan(L)
-    nch = int(pp["slab"].shape[0]) if pp else 0
-    out["synth_pallas_chunks"] = nch
-    t0 = time.time()
-    cap = dec.tighten_cap(L)
-    cap_aux = dec.tighten_cap(L, emit_aux=True)
-    offs_d, succs_d, E = dec.decode_to_csr_device(num_lanes=L)
-    jax.block_until_ready(succs_d)
-    assert np.array_equal(np.asarray(succs_d[:E]).astype(np.uint32),
-                          succs_ref), "synth TPU decode not bit-exact"
-    log(f"synth bit-exact: True (warmup+verify {time.time() - t0:.1f}s, "
-        f"caps {cap}/{cap_aux}, {nch} slab chunks)")
-    meta = dec.plan(L)["recon_meta"]["meta"]
-
-    env = {"WGT_BENCH_CAP": str(cap), "WGT_BENCH_CAP_AUX": str(cap_aux),
-           "WGT_BENCH_META": json.dumps([int(x) for x in meta])}
-    for mode, key in (("pallas", "synth_pallas_ns_per_arc"),
-                      ("e2e", "synth_e2e_ns_per_arc")):
-        r = run_device_bench(base, mode, 5, L, env)
+    # token-kernel plan (caps, bit-exact check) in its own subprocess —
+    # the parent must not touch the device (see main)
+    planr = run_device_bench(base, "plan", 1, L, {"WGT_BENCH_SRC": ""})
+    env = {}
+    if planr is not None:
+        env = {"WGT_BENCH_CAP": str(planr["cap"]),
+               "WGT_BENCH_CAP_AUX": str(planr["cap_aux"]),
+               "WGT_BENCH_META": json.dumps(planr["meta"])}
+        r = run_device_bench(base, "pallas", 5, L, env)
         if r is not None:
-            out[key] = round(r["ns_per_arc"], 2)
-            log(f"synth TPU {mode}: {r['sec_per_rep']*1e3:.1f} ms/rep = "
+            out["synth_pallas_ns_per_arc"] = round(r["ns_per_arc"], 2)
+            log(f"synth TPU pallas: {r['sec_per_rep']*1e3:.1f} ms/rep = "
                 f"{r['ns_per_arc']:.2f} ns/arc")
+    # merged-emit e2e (self-planning; verifies bit-exact in-warmup
+    # against the cached ground-truth successors)
+    r = run_device_bench(base, "emit", 5, L,
+                         {"WGT_BENCH_SRC": "",
+                          "WGT_BENCH_REF_NPY":
+                              os.path.join(cache, "succs.npy")})
+    if r is not None:
+        out["synth_e2e_ns_per_arc"] = round(r["ns_per_arc"], 2)
+        log(f"synth TPU emit e2e: {r['sec_per_rep']*1e3:.1f} ms/rep = "
+            f"{r['ns_per_arc']:.2f} ns/arc")
     if "synth_pallas_ns_per_arc" in out:
         out["synth_vs_baseline"] = round(
             cpu_ns / out["synth_pallas_ns_per_arc"], 3)

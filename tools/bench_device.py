@@ -57,13 +57,57 @@ def main():
     # self-plans (its plan path is warmup, not measurement)
     cap = int(os.environ.get("WGT_BENCH_CAP", "0")) or None
 
+    if mode == "plan":
+        # tight caps + reconstruction meta for the token-kernel modes;
+        # the parent passes them to the other subprocesses (it must not
+        # touch the device itself: an idle relay connection wedges)
+        capk = dec.tighten_cap(L)
+        cap_aux = dec.tighten_cap(L, emit_aux=True)
+        offs_d, succs_d, E = dec.decode_to_csr_device(num_lanes=L)
+        jax.block_until_ready(succs_d)
+        if os.environ.get("WGT_BENCH_SRC"):
+            from webgraph_ans_tpu.bvgraph.graph import load_bvgraph
+            adj, _ = load_bvgraph(os.environ["WGT_BENCH_SRC"])
+            ok = bool(np.array_equal(
+                np.asarray(succs_d[:E]).astype(np.uint32), adj.succs))
+        else:
+            ok = True
+        meta = dec.plan(L)["recon_meta"]["meta"]
+        print(json.dumps({"mode": "plan", "cap": int(capk),
+                          "cap_aux": int(cap_aux), "bit_exact": ok,
+                          "meta": [int(x) for x in meta]}))
+        return
     if mode == "emit":
         # merged-emit pipeline: decode + in-kernel reconstruction ->
-        # padded device adjacency (+ fused post-pass)
+        # padded device adjacency (+ fused post-pass). Warmup includes
+        # a full bit-exact verification against the source graph.
         s2d, st, dgs = dec.decode_to_adjacency_device(num_lanes=L)
         jax.block_until_ready(s2d)
         s2d, st, dgs = dec.decode_to_adjacency_device(num_lanes=L)
         jax.block_until_ready(s2d)
+        F = np.asarray(s2d).reshape(-1)
+        stn = np.asarray(st).astype(np.int64)
+        d = np.asarray(dgs).astype(np.int64)
+        Gn = np.asarray(s2d).shape[1]
+        if os.environ.get("WGT_BENCH_SRC"):
+            from webgraph_ans_tpu.bvgraph.graph import load_bvgraph
+            adj, _ = load_bvgraph(os.environ["WGT_BENCH_SRC"])
+            offs = adj.offsets.astype(np.int64)
+            ref = adj.succs
+        elif os.environ.get("WGT_BENCH_REF_NPY"):
+            ref = np.load(os.environ["WGT_BENCH_REF_NPY"], mmap_mode="r")
+            offs = np.concatenate([[0], np.cumsum(d)])
+        else:
+            raise SystemExit("emit mode needs WGT_BENCH_SRC or "
+                             "WGT_BENCH_REF_NPY")
+        assert np.array_equal(d, np.diff(offs)), "emit degrees mismatch"
+        rng = np.random.default_rng(5)
+        sample = (np.arange(g.num_nodes) if g.num_nodes <= 400_000 else
+                  rng.integers(0, g.num_nodes, 100_000))
+        for x in sample:
+            got = F[stn[x] + np.arange(d[x]) * Gn].astype(np.uint32)
+            if not np.array_equal(got, ref[offs[x]:offs[x + 1]]):
+                raise SystemExit(f"emit NOT bit-exact at node {x}")
 
         def run():
             s2d, st, dgs = dec.decode_to_adjacency_device(num_lanes=L)
@@ -103,13 +147,18 @@ def main():
             return offsets[-1:], F[-8:]
     elif mode == "ondemand":
         # on-demand batch random access: every rep decodes the queried
-        # lists from the COMPRESSED artifacts (wave decode + host subset
-        # reconstruction) — the honest counterpart of the reference's
-        # 10M-query protocol, reported alongside the serve-mode number
-        # (which gathers from a pre-decoded CSR instead)
-        from webgraph_ans_tpu.ops.random_tpu import TpuRandomAccess
+        # lists from the COMPRESSED artifacts — the honest counterpart
+        # of the reference's 10M-query protocol, reported alongside the
+        # serve-mode number (which gathers from a pre-decoded CSR).
+        # Merged-emit per-query lanes on serial artifacts; wave decode
+        # (TpuRandomAccess) otherwise.
+        from webgraph_ans_tpu.ops.random_tpu import (TpuEmitRandomAccess,
+                                                     TpuRandomAccess)
 
-        ra = TpuRandomAccess(dec)
+        try:
+            ra = TpuEmitRandomAccess(dec)
+        except ValueError:
+            ra = TpuRandomAccess(dec)
         B = int(os.environ.get("WGT_BENCH_ONDEMAND_BATCH", "65536"))
         rng = np.random.default_rng(1)
         batches = [rng.integers(0, g.num_nodes, size=B)

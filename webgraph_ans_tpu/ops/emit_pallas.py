@@ -62,10 +62,10 @@ QC, QI, QR, QN = 16, 16, 12, 4
  # emission-side rows
  E_ACTIVE, E_X, E_XMOD, E_D, E_REF, E_DIRTY, E_EMITTED, E_FIRST,
  E_PBASE, E_CCJ, E_CCLEFT, E_CSRC, E_CIVAL, E_CILEFT, E_DONEROW,
- E_LSTART, E_RSTART,
+ E_LSTART, E_RSTART, E_MARKROW, E_MDIRTY,
  # queue counters
- N_QC, N_QI, N_QR, N_QN) = range(43)
-NFIX = 43
+ N_QC, N_QI, N_QR, N_QN) = range(45)
+NFIX = 45
 
 
 def _layout(window: int):
@@ -150,6 +150,9 @@ def _step(params: CodecParams, lut, slab_ref, ring_sc, t, window: int,
     p = g(D_PHASE)
     active = p != P_DONE
     qc_n, qi_n, qr_n, qn_n = g(N_QC), g(N_QI), g(N_QR), g(N_QN)
+    # done at step START: rows_used counts every row the lane touched,
+    # including the one where its last element is emitted
+    was_done = ~active & (g(E_ACTIVE) == 0) & (qn_n == 0)
 
     # ---------------- decode stall / early-meta ----------------
     meta_unsent = g(D_METASENT) == 0
@@ -470,7 +473,13 @@ def _step(params: CodecParams, lut, slab_ref, ring_sc, t, window: int,
     t[E_EMITTED], t[E_FIRST], t[E_PBASE] = e_emitted, e_first, e_pbase
     t[E_CCJ], t[E_CCLEFT], t[E_CSRC] = cc_j, cc_left, cc_src
     t[E_CIVAL], t[E_CILEFT] = ci_val, ci_left
-    t[E_DONEROW] = jnp.where(lane_done, t[E_DONEROW], row_now + 1)
+    t[E_DONEROW] = jnp.where(was_done, t[E_DONEROW], row_now + 1)
+    # last non-halo marker (single-node/random-access extraction)
+    mark_now = can_pop & ~halo
+    t[E_MARKROW] = jnp.where(mark_now, row_now, t[E_MARKROW])
+    t[E_MDIRTY] = jnp.where(mark_now,
+                            dirty.astype(i32) | (empty.astype(i32) << 1),
+                            t[E_MDIRTY])
     t[N_QC], t[N_QI], t[N_QR], t[N_QN] = qc_n, qi_n, qr_n, qn_n
 
     vu = jax.lax.bitcast_convert_type(out_v, jnp.uint32)
@@ -535,12 +544,13 @@ def decode_emit_pallas(params: CodecParams, lut, slab, init_regs,
         done = ((t[D_PHASE] == P_DONE) & (t[E_ACTIVE] == 0)
                 & (t[N_QN] == 0)).astype(jnp.int32)
         fin_ref[0, 1, :, :] = done
-        # diagnostic rows: final decode/emission state per lane
-        fin_ref[0, 2, :, :] = t[D_PHASE]
-        fin_ref[0, 3, :, :] = t[D_X]
-        fin_ref[0, 4, :, :] = t[E_X]
-        fin_ref[0, 5, :, :] = t[E_ACTIVE] * 1000000 + t[E_EMITTED]
-        fin_ref[0, 6, :, :] = t[E_D]
+        # rows 2-3: last non-halo marker (random-access extraction);
+        # rows 4-7: diagnostics
+        fin_ref[0, 2, :, :] = t[E_MARKROW]
+        fin_ref[0, 3, :, :] = t[E_MDIRTY]
+        fin_ref[0, 4, :, :] = t[D_X]
+        fin_ref[0, 5, :, :] = t[E_X]
+        fin_ref[0, 6, :, :] = t[E_ACTIVE] * 1000000 + t[E_EMITTED]
         fin_ref[0, 7, :, :] = (t[N_QN] * 1000 + t[N_QC] * 100
                                + t[N_QI] * 10 + t[N_QR])
 

@@ -25,7 +25,8 @@ import jax.numpy as jnp
 
 from ..bvgraph.graph import Adjacency
 from .graph_decode import TpuGraphDecoder
-from .decode_jax import UNROLL, decode_blocks, round_cap, seed_rings
+from .decode_jax import (ROW_SHIFT, UNROLL, decode_blocks, round_cap,
+                         seed_rings)
 from .reconstruct_jax import _np_ragged, reconstruct
 
 
@@ -261,3 +262,154 @@ class TpuCsrServer:
         out, out_off, total = self.serve(q)
         off = np.asarray(out_off).astype(np.uint64)
         return Adjacency(off, np.asarray(out[:int(total)]).astype(np.uint32))
+
+
+class TpuEmitRandomAccess:
+    """On-demand batch random access through the merged-emit kernel:
+    each (deduplicated) query becomes one decode lane covering
+    [query - 4*window, query]; the kernel resolves the whole reference
+    closure IN-LANE (ancestors precede the query in the lane) and emits
+    the query's FINAL sorted successor list, extracted per lane from the
+    marker registers — no waves, no host reconstruction. Queries the
+    kernel cannot resolve (ring/queue overflow; rare) fall back to the
+    native per-node decoder.
+
+    Works on serial artifacts (per-node phases, no encode blocks) —
+    lane entries may sit anywhere there; TpuRandomAccess (wave decode)
+    remains the general path. Reference protocol analog:
+    examples/bench_random_access.rs."""
+
+    def __init__(self, decoder: TpuGraphDecoder):
+        d = decoder
+        if d.graph.prelude.blocks is not None:
+            raise ValueError("emit random access needs a serial artifact "
+                             "(lanes must not cross encode blocks)")
+        if d.phase_step != 1:
+            raise ValueError("emit random access needs per-node phases")
+        self.dec = d
+        from . import decode_pallas as dp
+        if not hasattr(d, "_pallas_lut"):
+            d._pallas_lut = dp.build_pallas_lut(d.params, d.lut_np)
+        self.lut = d._pallas_lut[0]
+        self.H = 4 * d.window
+
+    def _plan(self, q: np.ndarray, nch: int, gpad: int):
+        from . import decode_pallas as dp
+        from .emit_pallas import make_emit_init_regs
+
+        d = self.dec
+        n = d.num_nodes
+        W = d.window
+        starts = np.maximum(q - self.H, 0)
+        ends = q + 1
+        base, rel = d._lane_bases(starts, ends)
+        entry_abs = ((base.astype(np.int64) << ROW_SHIFT)
+                     + rel.astype(np.int64))
+        end_abs = d.pointers[np.minimum(ends, n - 1)]
+        end_abs = np.where(ends < n, end_abs, 0)
+        seg_base, smaxp = dp.plan_segments(entry_abs, end_abs,
+                                           d.params[10])
+        seg_pad = np.zeros(gpad, seg_base.dtype)
+        seg_pad[:len(seg_base)] = seg_base
+        if len(d.tables.stream_rows.reshape(-1)) < 1 << 31:
+            seg_pad = seg_pad.astype(np.int32)
+        slab = dp.build_slab(d.tables.stream_rows, jnp.asarray(seg_pad),
+                             smaxp, gpad // nch)
+        if W > 0:
+            pre = starts[:, None] - W + np.arange(W)[None, :]
+            pre_cl = np.clip(pre, 0, n - 1)
+            seed_rel = (d.pointers[pre_cl]
+                        - (base.astype(np.int64) << ROW_SHIFT)[:, None])
+            ring = seed_rings(
+                d.params, d.tables, jnp.asarray(d.states_np[pre_cl]),
+                jnp.asarray(seed_rel.astype(np.int32)),
+                jnp.asarray(starts), W, jnp.asarray(base))
+        else:
+            ring = jnp.zeros((len(starts), 1), jnp.int32)
+        rel_seg = entry_abs - 2 * seg_base
+        init = make_emit_init_regs(
+            jnp.asarray(d.states_np[np.minimum(starts, n - 1)]),
+            jnp.asarray(rel_seg.astype(np.int32)), starts, ends, ring,
+            W, pad_to_lanes=gpad, num_chunks=nch, real_starts=q)
+        return slab, init
+
+    def successors_batch(self, query_nodes, cap: int = 384) -> Adjacency:
+        from .emit_pallas import decode_emit_pallas
+        from .emit_post import _expand_spans
+        from .reconstruct_device import _quant
+
+        d = self.dec
+        query = np.asarray(query_nodes, dtype=np.int64)
+        q, inv = np.unique(query, return_inverse=True)
+        B = len(q)
+        # chunk width under the same VMEM budgets as the full decode
+        T = 512
+        Gc = 1024
+        nch = max(-(-B // Gc), 1)
+        gpad = nch * Gc
+        qp = np.concatenate([q, np.full(gpad - B, d.num_nodes - 1,
+                                        np.int64)])
+        # padding lanes are EMPTY (start == end): make_emit_init_regs
+        # marks them done immediately
+        slab, init = self._plan(qp, nch, gpad)
+        import os
+        interp = os.environ.get("WGT_PALLAS") == "interpret"
+        cap = -(-cap // UNROLL) * UNROLL
+        while True:
+            val, xch, nib, rows, ok, diag = decode_emit_pallas(
+                d.params, self.lut, slab, init, d.window,
+                d.min_interval, cap, T=T, interpret=interp)
+            # one combined fetch: ok + rows + marker diag
+            fin = np.asarray(jnp.concatenate(
+                [ok[None, :].astype(jnp.int32), rows[None, :], diag[:2]],
+                axis=0)[:, :B])
+            if fin[0].all():
+                break
+            cap *= 2
+            if cap > 1 << 22:
+                raise RuntimeError("emit random access cap runaway")
+        rows_used = fin[1]
+        markrow = fin[2]
+        mdirty = fin[3]
+        start = markrow + (mdirty & 1)
+        dd = np.where(mdirty & 2, 0, rows_used - start).astype(np.int64)
+        clean = (mdirty & 1) == 0
+        dd_c = np.where(clean, dd, 0)
+        offs = np.concatenate([[0], np.cumsum(dd_c)])
+        total = int(offs[-1])
+        out_cap = _quant(total + 1)
+        Lp = val.shape[1]
+        node, k, valid, _ = _expand_spans(
+            jnp.asarray(start.astype(np.int32)),
+            jnp.asarray(dd_c.astype(np.int32)),
+            jnp.asarray(clean), out_cap)
+        src = (jnp.asarray(start.astype(np.int32))[node] + k) * Lp + node
+        flat = jax.lax.bitcast_convert_type(val, jnp.int32).reshape(-1)
+        outv = np.asarray(jnp.where(valid, flat[jnp.clip(src, 0,
+                                                         flat.shape[0] - 1)],
+                                    0))[:total + 1]
+        # dirty queries: native per-node fallback (rare)
+        res_lists: dict[int, np.ndarray] = {}
+        dirty_q = q[~clean]
+        if len(dirty_q):
+            nat = self.dec.graph.successors_batch(
+                dirty_q.astype(np.uint64))
+            no = nat.offsets.astype(np.int64)
+            for i, x in enumerate(dirty_q):
+                res_lists[int(x)] = nat.succs[no[i]:no[i + 1]]
+        # assemble in query order
+        out_lists = []
+        for i in range(B):
+            if clean[i]:
+                out_lists.append(
+                    np.asarray(outv[offs[i]:offs[i + 1]], np.uint32))
+            else:
+                out_lists.append(res_lists[int(q[i])])
+        lens = np.array([len(v) for v in out_lists], np.int64)
+        qlens = lens[inv]
+        out_off = np.zeros(len(query) + 1, np.uint64)
+        out_off[1:] = np.cumsum(qlens)
+        flat_out = np.concatenate(
+            [out_lists[j] for j in inv]) if len(query) else \
+            np.zeros(0, np.uint32)
+        return Adjacency(out_off, flat_out.astype(np.uint32))
