@@ -92,3 +92,33 @@ def test_postprocess_with_empty_nodes():
         np.testing.assert_array_equal(
             np.asarray(lists[x], np.uint32),
             adj.succs[offs2[x]:offs2[x + 1]], err_msg=f"node {x}")
+
+
+def test_adjacency_fallback_on_cpu(tmp_path):
+    """decode_to_adjacency_device falls back to the sort path where the
+    merged-emit kernel is unavailable (CPU backend)."""
+    import jax
+    import jax.numpy as jnp  # noqa: F401
+    from webgraph_ans_tpu.ans.prelude import save_pointers, save_states
+    from webgraph_ans_tpu.bvgraph.random_access import ANSBvGraph
+    from webgraph_ans_tpu.bvgraph.store import compress_adjacency
+    from webgraph_ans_tpu.ops.graph_decode import TpuGraphDecoder
+
+    adj = synth_web_graph(600, seed=11)
+    base = str(tmp_path / "g")
+    res = compress_adjacency(adj)
+    res.prelude.save(base)
+    save_states(base, res.states)
+    save_pointers(base, res.pointers)
+    g = ANSBvGraph.load(base)
+    dec = TpuGraphDecoder(g)
+    s2d, st, dg = dec.decode_to_adjacency_device(num_lanes=32)
+    F = np.asarray(s2d).reshape(-1)
+    stn = np.asarray(st).astype(np.int64)
+    d = np.asarray(dg).astype(np.int64)
+    G = np.asarray(s2d).shape[1]
+    offs = adj.offsets.astype(np.int64)
+    assert np.array_equal(d, np.diff(offs))
+    for x in range(adj.num_nodes):
+        got = F[stn[x] + np.arange(d[x]) * G].astype(np.uint32)
+        np.testing.assert_array_equal(got, adj.succs[offs[x]:offs[x + 1]])

@@ -819,9 +819,20 @@ class TpuGraphDecoder:
         from . import emit_post
 
         pl0 = self._plans.setdefault(("emit", num_lanes), {})
+        if pl0.get("emit_broken"):
+            return self._adjacency_via_sort_path(num_lanes)
         # steady state: cap known + plan verified once -> zero host syncs
         check = not pl0.get("verified")
-        val, xch, nib, cap = self.decode_emit_raw(num_lanes, check=check)
+        try:
+            val, xch, nib, cap = self.decode_emit_raw(num_lanes,
+                                                      check=check)
+        except Exception as e:   # noqa: BLE001 - kernel unsupported here
+            import logging
+            logging.getLogger(__name__).warning(
+                "merged-emit kernel unavailable (%r); using the "
+                "sort-based reconstruction", e)
+            pl0["emit_broken"] = True
+            return self._adjacency_via_sort_path(num_lanes)
         pl = self._plans[("emit", num_lanes)]
         if "lane_of" not in pl:
             starts = pl["starts_np"]
@@ -830,9 +841,18 @@ class TpuGraphDecoder:
                 lane_of[starts[li]:pl["ends_np"][li]] = li
             pl["lane_of"] = lane_of
         mc = pl.setdefault("post_meta", {})
-        succs2d, starts_flat, degs, tabs = emit_post.postprocess(
-            val, xch, nib, pl["lane_of"], pl["starts_np"], self.num_nodes,
-            meta_cache=mc)
+        try:
+            succs2d, starts_flat, degs, tabs = emit_post.postprocess(
+                val, xch, nib, pl["lane_of"], pl["starts_np"],
+                self.num_nodes, meta_cache=mc)
+        except RuntimeError as e:
+            # e.g. hc-mode dirty chains deeper than the fixup bound
+            import logging
+            logging.getLogger(__name__).warning(
+                "merged-emit post-pass unsupported for this artifact "
+                "(%r); using the sort-based reconstruction", e)
+            pl0["emit_broken"] = True
+            return self._adjacency_via_sort_path(num_lanes)
         if rebalance and "degs_np" not in pl and "bounds" not in pl:
             # cache degrees and rebalance the lane split once; the next
             # call rebuilds the plan on element-balanced bounds placed at
@@ -851,4 +871,16 @@ class TpuGraphDecoder:
                 pl.pop(k, None)
         elif not pl.get("verified"):
             pl["verified"] = True
+        return succs2d, starts_flat, degs
+
+    def _adjacency_via_sort_path(self, num_lanes: int):
+        """Sort-based reconstruction presented in the padded-adjacency
+        contract (G=1 layout: flat index == CSR index). Fallback for
+        artifacts the merged-emit kernel cannot serve (deep hc chains,
+        non-TPU backends)."""
+        offsets, succs, E = self.decode_to_csr_device(
+            num_lanes=num_lanes)
+        succs2d = jnp.reshape(succs, (-1, 1)).astype(jnp.int32)
+        starts_flat = offsets[:-1].astype(jnp.int32)
+        degs = (offsets[1:] - offsets[:-1]).astype(jnp.int32)
         return succs2d, starts_flat, degs
