@@ -164,6 +164,85 @@ def _expand_spans(base_n, len_n, mask_n, Dcap: int):
     return node, k, valid, dbase
 
 
+@functools.partial(jax.jit, static_argnames=("roffs", "Dall"))
+def fixup_dirty_compact(val, tabs, lane_of, order, cpos_n, pdirty,
+                        parent, roffs: tuple, Dall: int):
+    """Compact-block fixup: gather ALL dirty spans once into a compact
+    buffer laid out in (chain-depth, node) order, run the per-round
+    resolve+sort on static compact SLICES (parents of round r>1 read the
+    already-sorted compact slices of earlier rounds), and write back to
+    F with one scatter. Two Dall-scale big-array gathers + one scatter
+    total, instead of per-round passes over the padded output.
+
+    order [ndirty_pad]: dirty node ids sorted by (chain depth, node);
+    cpos_n [n]: each dirty node's compact base (-1 for clean);
+    roffs: static (round start, padded length) pairs in compact coords.
+    All three come from the meta cache (n-scale, derived once)."""
+    S, G = val.shape
+    F = jax.lax.bitcast_convert_type(val, I32).reshape(-1)   # [S*G]
+    codes_f = tabs["codes"].reshape(-1)
+    start_el, deg, span = tabs["start_el"], tabs["deg"], tabs["span"]
+    startsF = start_el * G + lane_of
+    pstartF = startsF[parent]
+    BIG = jnp.int32(0x7FFFFFFF)
+    nd = order.shape[0]
+
+    # slot -> dirty-ordinal via scatter-max of ordinals at compact bases
+    ln = jnp.where(order >= 0, span[jnp.maximum(order, 0)], 0)
+    obase = _cumsum(ln) - ln
+    slots = jnp.arange(Dall, dtype=I32)
+    st = jnp.where(ln > 0, obase, Dall)
+    arr = jnp.zeros(Dall + 1, I32).at[st].max(
+        jnp.arange(nd, dtype=I32), mode="drop")
+    ordl = _cummax(arr[:Dall])
+    node = order[ordl]
+    k = slots - obase[ordl]
+    valid = (node >= 0) & (k >= 0) & (k < ln[ordl])
+    node = jnp.maximum(node, 0)
+
+    rowf = jnp.where(valid, (start_el[node] + k) * G + lane_of[node], 0)
+    Cv = jnp.where(valid, F[rowf], 0)
+    Cc = jnp.where(valid, codes_f[rowf], C_HOLE)
+    cbase = obase[ordl]                       # compact slice base per slot
+
+    for (lo, lpad, tlen) in roffs:
+        sl_v = jax.lax.dynamic_slice(Cv, (lo,), (lpad,))
+        sl_c = jax.lax.dynamic_slice(Cc, (lo,), (lpad,))
+        sl_node = jax.lax.dynamic_slice(node, (lo,), (lpad,))
+        sl_valid = jax.lax.dynamic_slice(valid, (lo,), (lpad,))
+        sl_cbase = jax.lax.dynamic_slice(cbase, (lo,), (lpad,))
+        is_el = ((sl_c == C_EL) | (sl_c == C_FIRST) | (sl_c == C_PLACE))
+        is_pl = sl_valid & (sl_c == C_PLACE)
+        par = parent[sl_node]
+        pd = pdirty[par]
+        srcF = jnp.clip(pstartF[sl_node] + sl_v * G, 0, S * G - 1)
+        srcC = jnp.clip(cpos_n[par] + sl_v, 0, Dall - 1)
+        vF = F[jnp.where(is_pl & ~pd, srcF, 0)]
+        vC = Cv[jnp.where(is_pl & pd, srcC, 0)]
+        v = jnp.where(is_pl, jnp.where(pd, vC, vF), sl_v)
+        in_round = jnp.arange(lpad, dtype=I32) < tlen
+        key = jnp.where(sl_valid & is_el & in_round, v, BIG)
+        # slots past the true length (lpad is quantized) belong to later
+        # rounds: push them PAST every real group or they shift regions
+        sortn = jnp.where(in_round, sl_node, BIG)
+        sord, sv = jax.lax.sort((sortn, key), num_keys=2)
+        rank = jnp.arange(lpad, dtype=I32) - (
+            jax.lax.sort((sl_node, sl_cbase), num_keys=1)[1] - lo)
+        dest = sl_cbase * 0  # placeholder; recomputed below
+        # within-slice rank against each group's compact base
+        gb = cpos_n[jnp.clip(sord, 0, cpos_n.shape[0] - 1)] - lo
+        rank = jnp.arange(lpad, dtype=I32) - gb
+        put = (sv != BIG) & (sord >= 0) & (rank >= 0) &             (rank < deg[jnp.maximum(sord, 0)])
+        dst = jnp.where(put, gb + rank + lo, Dall)
+        Cv = Cv.at[dst].set(sv, mode="drop")
+    # final write-back: compact value at (node, rank) -> F row
+    rank_f = slots - cbase
+    okf = valid & (rank_f < deg[node])
+    destF = jnp.where(okf, startsF[node] + rank_f * G, S * G)
+    F = F.at[destF].set(Cv, mode="drop")
+    return F.reshape(S, G)
+
+
 @functools.partial(jax.jit, static_argnames=("n", "Dcaps"))
 def fixup_dirty(val, tabs, lane_of, ddep, parent, n: int,
                 Dcaps: tuple):
@@ -202,16 +281,17 @@ def fixup_dirty(val, tabs, lane_of, ddep, parent, n: int,
     return F.reshape(S, G)
 
 
-@functools.partial(jax.jit, static_argnames=("n", "Dcaps"))
-def _post_fused(val, xch, nib, lane_of, ddep, parent, n: int,
-                Dcaps: tuple):
+@functools.partial(jax.jit, static_argnames=("n", "roffs", "Dall"))
+def _post_fused(val, xch, nib, lane_of, order, cpos_n, pdirty, parent,
+                n: int, roffs: tuple, Dall: int):
     """extract + fixup as ONE device program (each dispatch costs a
     ~26 ms relay round trip on axon; the steady state must be a single
     dispatch after the kernel's)."""
     tabs = extract_node_tables(val, xch, nib, lane_of, n)
     G = val.shape[1]
-    if Dcaps:
-        succs2d = fixup_dirty(val, tabs, lane_of, ddep, parent, n, Dcaps)
+    if roffs:
+        succs2d = fixup_dirty_compact(val, tabs, lane_of, order, cpos_n,
+                                      pdirty, parent, roffs, Dall)
     else:
         succs2d = jax.lax.bitcast_convert_type(val, I32)
     starts_flat = tabs["start_el"] * G + lane_of
@@ -224,9 +304,10 @@ def postprocess(val, xch, nib, lane_of_np, lane_starts_np, n: int,
     tabs). meta_cache (mutated) caches Dcaps/rounds so the steady state
     issues a fixed program with no data-dependent shapes."""
     mc0 = meta_cache if meta_cache is not None else {}
-    if "ddep_d" in mc0:
-        return _post_fused(val, xch, nib, mc0["lane_of_d"], mc0["ddep_d"],
-                           mc0["parent_d"], n, mc0["Dcaps"])
+    if "order_d" in mc0:
+        return _post_fused(val, xch, nib, mc0["lane_of_d"],
+                           mc0["order_d"], mc0["cpos_d"], mc0["pdirty_d"],
+                           mc0["parent_d"], n, mc0["roffs"], mc0["Dall"])
     lane_of = jnp.asarray(lane_of_np)
     tabs = extract_node_tables(val, xch, nib, lane_of, n)
     mc = meta_cache if meta_cache is not None else {}
@@ -251,14 +332,41 @@ def postprocess(val, xch, nib, lane_of_np, lane_starts_np, n: int,
         mc["ddep"] = ddep
         mc["parent"] = parent.astype(np.int32)
         mc["rounds"] = int(ddep.max())
-        mc["Dcaps"] = tuple(
-            _quant(int(span[dirty & (ddep == r)].sum()) + 1)
-            for r in range(1, mc["rounds"] + 1))
+        # compact-fixup layout: dirty nodes in (chain depth, node) order
+        didx = np.nonzero(dirty)[0]
+        dd_sort = np.argsort(ddep[didx] * (n + 1.0) + didx, kind="stable")
+        order = didx[dd_sort].astype(np.int32)
+        spans_o = span[order].astype(np.int64)
+        obase = np.concatenate([[0], np.cumsum(spans_o)])
+        cpos = np.full(n, 0, np.int32)
+        cpos[order] = obase[:-1].astype(np.int32)
+        roffs = []
+        lo = 0
+        hi_need = 1
+        for r in range(1, mc["rounds"] + 1):
+            tlen = int(spans_o[ddep[order[: len(order)]] == r].sum())
+            lpad = _quant(tlen + 1)
+            roffs.append((lo, lpad, tlen))
+            hi_need = max(hi_need, lo + lpad)
+            lo += tlen
+        # Dall must cover every PADDED slice: lax.dynamic_slice clamps
+        # out-of-range starts (which would silently shift the slice)
+        mc["Dall"] = _quant(max(lo, hi_need) + 1)
+        mc["roffs"] = tuple(roffs)
+        mc["order_np"] = order
+        mc["cpos_np"] = cpos
+        mc["pdirty_np"] = dirty
     mc["lane_of_d"] = lane_of
-    mc["ddep_d"] = jnp.asarray(mc["ddep"])
     mc["parent_d"] = jnp.asarray(mc["parent"])
-    return _post_fused(val, xch, nib, lane_of, mc["ddep_d"],
-                       mc["parent_d"], n, mc["Dcaps"])
+    npad = max(len(mc["order_np"]), 1)
+    order_p = np.full(npad, -1, np.int32)
+    order_p[:len(mc["order_np"])] = mc["order_np"]
+    mc["order_d"] = jnp.asarray(order_p)
+    mc["cpos_d"] = jnp.asarray(mc["cpos_np"])
+    mc["pdirty_d"] = jnp.asarray(mc["pdirty_np"])
+    return _post_fused(val, xch, nib, lane_of, mc["order_d"],
+                       mc["cpos_d"], mc["pdirty_d"], mc["parent_d"], n,
+                       mc["roffs"], mc["Dall"])
 
 
 def to_host_lists(succs2d, starts_flat, degs, n: int):
