@@ -824,7 +824,11 @@ class TpuGraphDecoder:
         from . import emit_post
 
         pl0 = self._plans.setdefault(("emit", num_lanes), {})
-        if pl0.get("emit_broken"):
+        # hc-class artifacts (large windows, unbounded ref chains) go
+        # straight to the sort path: the emit kernel is validated for
+        # window <= 12, and a device fault would wedge the chip past
+        # any exception-level fallback
+        if pl0.get("emit_broken") or self.window > 12:
             return self._adjacency_via_sort_path(num_lanes)
         # steady state: cap known + plan verified once -> zero host syncs
         check = not pl0.get("verified")

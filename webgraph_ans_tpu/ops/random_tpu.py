@@ -286,6 +286,10 @@ class TpuEmitRandomAccess:
                              "(lanes must not cross encode blocks)")
         if d.phase_step != 1:
             raise ValueError("emit random access needs per-node phases")
+        if d.window > 12:
+            raise ValueError("emit random access validated for "
+                             "window <= 12 (hc-class artifacts use "
+                             "TpuRandomAccess)")
         self.dec = d
         from . import decode_pallas as dp
         if not hasattr(d, "_pallas_lut"):
