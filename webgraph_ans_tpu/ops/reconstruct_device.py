@@ -580,16 +580,25 @@ def reconstruct_device(out, num_nodes: int, num_arcs: int, cap: int,
                         st["offsets"], st["parent"], st["depth"],
                         st["ncop"], Ccap)
     src_all = jnp.where(live, jnp.clip(srcv + q, 0, Epad - 1), 0)
-    F = _deep_rounds(succs, F, seg, slot_all, src_all, dep_el,
-                     jnp.int32(max_depth))
+    # bounded dispatches: one device program per K rounds — a single
+    # program spanning thousands of sort rounds runs for minutes and
+    # trips the device execution watchdog (observed as UNAVAILABLE
+    # faults on v5e for cnr-2000 hc, depth 4506)
+    K = 128
+    k0 = 1
+    while k0 <= max_depth:
+        k1 = min(k0 + K - 1, max_depth)
+        succs, F = _deep_rounds(succs, F, seg, slot_all, src_all,
+                                dep_el, jnp.int32(k0), jnp.int32(k1))
+        k0 = k1 + 1
     return offsets, F, E
 
 
 @jax.jit
-def _deep_rounds(succs, F, seg, slot_all, src_all, dep_el, max_depth):
-    """All masked depth rounds in ONE device program (dynamic trip
-    count): fill depth-k copy slots from the sorted parents, re-sort,
-    repeat."""
+def _deep_rounds(succs, F, seg, slot_all, src_all, dep_el, k_lo, k_hi):
+    """Masked depth rounds [k_lo, k_hi] in one device program (dynamic
+    trip count): fill depth-k copy slots from the sorted parents,
+    re-sort, repeat."""
     Epad = succs.shape[0]
 
     def body(carry):
@@ -600,10 +609,10 @@ def _deep_rounds(succs, F, seg, slot_all, src_all, dep_el, max_depth):
 
     def cond(carry):
         k, _, _ = carry
-        return k <= max_depth
+        return k <= k_hi
 
-    _, _, F = jax.lax.while_loop(cond, body, (jnp.int32(1), succs, F))
-    return F
+    _, succs, F = jax.lax.while_loop(cond, body, (k_lo, succs, F))
+    return succs, F
 
 
 @functools.partial(jax.jit, static_argnames=("Ccap",))
