@@ -110,8 +110,9 @@ def main():
                 raise SystemExit(f"emit NOT bit-exact at node {x}")
 
         def run():
+            # no slicing: the steady state must stay ONE fused dispatch
             s2d, st, dgs = dec.decode_to_adjacency_device(num_lanes=L)
-            return dgs[-8:]
+            return dgs
     elif mode == "emitk":
         # merged-emit kernel alone (plan warmed via the full pipeline)
         s2d, st, dgs = dec.decode_to_adjacency_device(num_lanes=L)

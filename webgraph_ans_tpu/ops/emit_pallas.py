@@ -15,7 +15,7 @@ sorted successor element leaves per step.
 
 Nodes the stream cannot resolve in-kernel emit GROUPED with placeholder
 rows instead and are finished by a small post-pass
-(ops/emit_post.fixup_dirty):
+(ops/emit_post.fixup_dirty_compact, via emit_post.postprocess):
 - cross-lane parent (the node's reference target precedes the lane),
 - ring overflow (copy source older than T output rows),
 - queue overflow (more runs than queue capacity; the decoder sends the
@@ -134,9 +134,14 @@ def _ring_read(ring_sc, rowidx, T: int, A: int):
 
 
 def _step(params: CodecParams, lut, slab_ref, ring_sc, t, window: int,
-          min_interval: int, T: int, row_now, gpad: int):
+          min_interval: int, T: int, row_now, gpad: int,
+          mark_deg: bool = False):
     """One merged-emit step. `t` is the register tuple; returns
-    (t, out_val u32, out_x u32, code u32)."""
+    (t, out_val u32, out_x u32, code u32). mark_deg=True writes the
+    popped node's OUTDEGREE into the xch channel on marker rows instead
+    of its node id (steady-state mode: marker rows are layout-cached, so
+    the id is known and the channel carries the per-rep decoded degree
+    instead — see emit_post.post_steady)."""
     i32 = jnp.int32
     R = window + 1
     degring, basering, dirtyring, qc0, qi0, qr0, qn0, nreg = _layout(window)
@@ -464,7 +469,9 @@ def _step(params: CodecParams, lut, slab_ref, ring_sc, t, window: int,
     code = jnp.where(popped_empty & ~halo, C_EMPTY, code)
     code = jnp.where(lane_done & ~emitted & ~can_pop, C_DONE, code)
     out_v = jnp.where(popped_dirty, e_ref, out_v)
-    out_x = ex          # node id at pop time; read only on marker rows
+    # node id at pop time (or, in mark_deg mode, the popped node's
+    # outdegree); read only on marker rows
+    out_x = md if mark_deg else ex
     e_first = jnp.where(emitted, 0, e_first)
 
     t[E_ACTIVE] = em_active3.astype(i32)
@@ -490,10 +497,11 @@ def _step(params: CodecParams, lut, slab_ref, ring_sc, t, window: int,
 @functools.partial(
     jax.jit,
     static_argnames=("params", "window", "min_interval", "cap", "T",
-                     "interpret"))
+                     "interpret", "mark_deg"))
 def decode_emit_pallas(params: CodecParams, lut, slab, init_regs,
                        window: int, min_interval: int, cap: int,
-                       T: int = 512, interpret: bool = False):
+                       T: int = 512, interpret: bool = False,
+                       mark_deg: bool = False):
     """Merged-emit decode: returns (val [cap, nch*G] u32,
     xch [cap, nch*G] u32, nib [cap//8, nch*G] u32, rows_used [nch*G] i32,
     ok [nch*G] bool). Lane layout and chunking match
@@ -522,7 +530,7 @@ def decode_emit_pallas(params: CodecParams, lut, slab, init_regs,
             row_now = pid * UNROLL + sub
             t2, vu, xu, code, emitted = _step(
                 params, lutv, slab_ref, ring_sc, t, window, min_interval,
-                T, row_now, G)
+                T, row_now, G, mark_deg=mark_deg)
             shift = jnp.uint32(4) * sub.astype(jnp.uint32)
             cpk = ((cpk & ~(jnp.uint32(0xF) << shift))
                    | ((code & jnp.uint32(0xF)) << shift))

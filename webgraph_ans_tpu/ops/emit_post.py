@@ -122,7 +122,7 @@ def extract_node_tables(val, xch, nib, lane_of, n: int):
     ok = jnp.all(deg >= 0) & jnp.all(span >= deg)
     return dict(start_el=start_el, deg=deg, kind=mkind, ref=ref,
                 cause=mcause, span=span, rank_at=rank_at, codes=codes,
-                ok=ok)
+                mrow=mrow, ok=ok)
 
 
 def _cummax(x, BK=1 << 13):
@@ -165,14 +165,16 @@ def _expand_spans(base_n, len_n, mask_n, Dcap: int):
 
 
 @functools.partial(jax.jit, static_argnames=("roffs", "Dall"))
-def fixup_dirty_compact(val, tabs, lane_of, order, cpos_n, pdirty,
-                        parent, roffs: tuple, Dall: int):
+def fixup_dirty_compact(val, nib, start_el, deg, span, lane_of, order,
+                        cpos_n, pdirty, parent, roffs: tuple, Dall: int):
     """Compact-block fixup: gather ALL dirty spans once into a compact
     buffer laid out in (chain-depth, node) order, run the per-round
     resolve+sort on static compact SLICES (parents of round r>1 read the
     already-sorted compact slices of earlier rounds), and write back to
     F with one scatter. Two Dall-scale big-array gathers + one scatter
-    total, instead of per-round passes over the padded output.
+    total, instead of per-round passes over the padded output. Row codes
+    are gathered straight from the packed nib words (Dall-scale), so no
+    P-scale code unpack is needed here.
 
     order [ndirty_pad]: dirty node ids sorted by (chain depth, node);
     cpos_n [n]: each dirty node's compact base (-1 for clean);
@@ -180,8 +182,7 @@ def fixup_dirty_compact(val, tabs, lane_of, order, cpos_n, pdirty,
     All three come from the meta cache (n-scale, derived once)."""
     S, G = val.shape
     F = jax.lax.bitcast_convert_type(val, I32).reshape(-1)   # [S*G]
-    codes_f = tabs["codes"].reshape(-1)
-    start_el, deg, span = tabs["start_el"], tabs["deg"], tabs["span"]
+    nibf = jax.lax.bitcast_convert_type(nib, I32).reshape(-1)
     startsF = start_el * G + lane_of
     pstartF = startsF[parent]
     BIG = jnp.int32(0x7FFFFFFF)
@@ -200,9 +201,12 @@ def fixup_dirty_compact(val, tabs, lane_of, order, cpos_n, pdirty,
     valid = (node >= 0) & (k >= 0) & (k < ln[ordl])
     node = jnp.maximum(node, 0)
 
-    rowf = jnp.where(valid, (start_el[node] + k) * G + lane_of[node], 0)
+    row = start_el[node] + k
+    rowf = jnp.where(valid, row * G + lane_of[node], 0)
+    wordf = jnp.where(valid, (row >> 3) * G + lane_of[node], 0)
     Cv = jnp.where(valid, F[rowf], 0)
-    Cc = jnp.where(valid, codes_f[rowf], C_HOLE)
+    Cc = jnp.where(valid,
+                   (nibf[wordf] >> ((row & 7) * 4)) & 0xF, C_HOLE)
     cbase = obase[ordl]                       # compact slice base per slot
 
     for (lo, lpad, tlen) in roffs:
@@ -210,7 +214,6 @@ def fixup_dirty_compact(val, tabs, lane_of, order, cpos_n, pdirty,
         sl_c = jax.lax.dynamic_slice(Cc, (lo,), (lpad,))
         sl_node = jax.lax.dynamic_slice(node, (lo,), (lpad,))
         sl_valid = jax.lax.dynamic_slice(valid, (lo,), (lpad,))
-        sl_cbase = jax.lax.dynamic_slice(cbase, (lo,), (lpad,))
         is_el = ((sl_c == C_EL) | (sl_c == C_FIRST) | (sl_c == C_PLACE))
         is_pl = sl_valid & (sl_c == C_PLACE)
         par = parent[sl_node]
@@ -226,9 +229,6 @@ def fixup_dirty_compact(val, tabs, lane_of, order, cpos_n, pdirty,
         # rounds: push them PAST every real group or they shift regions
         sortn = jnp.where(in_round, sl_node, BIG)
         sord, sv = jax.lax.sort((sortn, key), num_keys=2)
-        rank = jnp.arange(lpad, dtype=I32) - (
-            jax.lax.sort((sl_node, sl_cbase), num_keys=1)[1] - lo)
-        dest = sl_cbase * 0  # placeholder; recomputed below
         # within-slice rank against each group's compact base
         gb = cpos_n[jnp.clip(sord, 0, cpos_n.shape[0] - 1)] - lo
         rank = jnp.arange(lpad, dtype=I32) - gb
@@ -243,59 +243,47 @@ def fixup_dirty_compact(val, tabs, lane_of, order, cpos_n, pdirty,
     return F.reshape(S, G)
 
 
-@functools.partial(jax.jit, static_argnames=("n", "Dcaps"))
-def fixup_dirty(val, tabs, lane_of, ddep, parent, n: int,
-                Dcaps: tuple):
-    """Resolve + sort dirty slices in chain-depth order, writing each
-    back contiguously from its start row. Round r touches only the
-    spans of chain-depth-r nodes (Dcaps[r-1] padded slots), so total
-    work across rounds is one pass over the dirty spans."""
-    S, G = val.shape
-    F = jax.lax.bitcast_convert_type(val, I32).reshape(-1)   # [S*G]
-    codes_f = tabs["codes"].reshape(-1)
-    start_el, deg, span = tabs["start_el"], tabs["deg"], tabs["span"]
-    dirty = tabs["kind"] == 1
-    startsF = start_el * G + lane_of
-    pstartF = startsF[parent]
-    BIG = jnp.int32(0x7FFFFFFF)
-
-    for r, Dcap in enumerate(Dcaps, start=1):
-        mask = dirty & (ddep == r)
-        node, k, valid, dbase = _expand_spans(start_el, span, mask, Dcap)
-        rowf = (start_el[node] + k) * G + lane_of[node]
-        rowf = jnp.where(valid, rowf, 0)
-        code_s = jnp.where(valid, codes_f[rowf], C_HOLE)
-        is_el = ((code_s == C_EL) | (code_s == C_FIRST)
-                 | (code_s == C_PLACE))
-        v = F[rowf]
-        src = jnp.clip(pstartF[node] + v * G, 0, S * G - 1)
-        v = jnp.where(valid & (code_s == C_PLACE), F[src], v)
-        key = jnp.where(valid & is_el, v, BIG)
-        # group by node (already node-ordered), sort values inside each
-        # group: one 2-key sort over this round's spans
-        snode, sv = jax.lax.sort((node, key), num_keys=2)
-        rank_in = jnp.arange(Dcap, dtype=I32) - dbase[snode]
-        dest = startsF[snode] + rank_in * G
-        put = (sv != BIG) & (rank_in < deg[snode]) & mask[snode]
-        F = F.at[jnp.where(put, dest, S * G)].set(sv, mode="drop")
-    return F.reshape(S, G)
-
-
 @functools.partial(jax.jit, static_argnames=("n", "roffs", "Dall"))
 def _post_fused(val, xch, nib, lane_of, order, cpos_n, pdirty, parent,
                 n: int, roffs: tuple, Dall: int):
-    """extract + fixup as ONE device program (each dispatch costs a
-    ~26 ms relay round trip on axon; the steady state must be a single
-    dispatch after the kernel's)."""
+    """extract + fixup as ONE device program (first-call / verification
+    path; the steady state uses post_steady)."""
     tabs = extract_node_tables(val, xch, nib, lane_of, n)
     G = val.shape[1]
     if roffs:
-        succs2d = fixup_dirty_compact(val, tabs, lane_of, order, cpos_n,
-                                      pdirty, parent, roffs, Dall)
+        succs2d = fixup_dirty_compact(
+            val, nib, tabs["start_el"], tabs["deg"], tabs["span"],
+            lane_of, order, cpos_n, pdirty, parent, roffs, Dall)
     else:
         succs2d = jax.lax.bitcast_convert_type(val, I32)
     starts_flat = tabs["start_el"] * G + lane_of
     return succs2d, starts_flat, tabs["deg"], tabs
+
+
+@functools.partial(jax.jit, static_argnames=("roffs", "Dall"))
+def post_steady(val, xch, nib, lane_of, mrow, kind, start_el, span,
+                starts_flat, order, cpos_n, pdirty, parent,
+                roffs: tuple, Dall: int):
+    """Steady-state post-pass: the marker LAYOUT (marker rows, spans,
+    kinds, start positions) is cached from the verified first decode —
+    the channels of a deterministic kernel on a fixed artifact never
+    move — so pass 1 collapses from P-scale (code unpack + element-rank
+    cumsum + marker scatter, ~45 ms device at cnr scale) to ONE n-scale
+    gather: the kernel runs in mark_deg mode, writing each node's
+    per-rep DECODED outdegree into the xch channel on its marker row,
+    and deg is read back at the cached rows. Values (succs2d) come
+    entirely from this rep's val channel (+ fixup for dirty nodes)."""
+    G = val.shape[1]
+    flatx = jax.lax.bitcast_convert_type(xch, I32).reshape(-1)
+    deg = flatx[mrow * G + lane_of]
+    deg = jnp.where(kind == 2, 0, deg)
+    if roffs:
+        succs2d = fixup_dirty_compact(
+            val, nib, start_el, deg, span, lane_of, order, cpos_n,
+            pdirty, parent, roffs, Dall)
+    else:
+        succs2d = jax.lax.bitcast_convert_type(val, I32)
+    return succs2d, starts_flat, deg
 
 
 def postprocess(val, xch, nib, lane_of_np, lane_starts_np, n: int,
@@ -364,6 +352,18 @@ def postprocess(val, xch, nib, lane_of_np, lane_starts_np, n: int,
     mc["order_d"] = jnp.asarray(order_p)
     mc["cpos_d"] = jnp.asarray(mc["cpos_np"])
     mc["pdirty_d"] = jnp.asarray(mc["pdirty_np"])
+    # marker LAYOUT for the steady state (post_steady): rows/spans/kinds
+    # of a deterministic kernel on a fixed artifact are layout data
+    # (meta-cache honesty rule, docs/ARCHITECTURE.md) — values and
+    # degrees are still re-decoded every rep
+    G = val.shape[1]
+    mc["mrow_d"] = jnp.asarray(np.asarray(tabs["mrow"]))
+    mc["kind_d"] = jnp.asarray(np.asarray(tabs["kind"]))
+    mc["start_el_d"] = jnp.asarray(np.asarray(tabs["start_el"]))
+    mc["span_d"] = jnp.asarray(np.asarray(tabs["span"]))
+    mc["starts_flat_d"] = jnp.asarray(
+        np.asarray(tabs["start_el"]) * G + np.asarray(lane_of_np,
+                                                      np.int32))
     return _post_fused(val, xch, nib, lane_of, mc["order_d"],
                        mc["cpos_d"], mc["pdirty_d"], mc["parent_d"], n,
                        mc["roffs"], mc["Dall"])
