@@ -117,10 +117,11 @@ def main():
     val2, xch2, nib2 = val2[:, :Lr], xch2[:, :Lr], nib2[:, :Lr]
     jax.block_until_ready(val2)
     timeit("steady", lambda: emit_post.post_steady(
-        val2, xch2, nib2, lane_of, mc["mrow_d"], mc["kind_d"],
-        mc["start_el_d"], mc["span_d"], mc["starts_flat_d"],
-        mc["order_d"], mc["cpos_d"], mc["pdirty_d"], mc["parent_d"],
-        mc["roffs"], mc["Dall"])[0])
+        val2, xch2, lane_of, mc["mrow_d"], mc["kind_d"],
+        mc["starts_flat_d"], mc["fx_rowf"], mc["fx_valid"],
+        mc["fx_ispl"], mc["fx_pd"], mc["fx_elmask"], mc["fx_srcF"],
+        mc["fx_srcC"], mc["fx_sortn"], mc["fx_dst"], mc["fx_destF"],
+        mc["fx_offs"], mc["Dall"])[0])
 
     timeit("fused", lambda: dec.decode_to_adjacency_device(L)[0])
 

@@ -24,27 +24,30 @@ from .decode_jax import (ROW_SHIFT, UNROLL, DecoderTables,
 @functools.partial(
     jax.jit,
     static_argnames=("params", "window", "min_interval", "cap", "T",
-                     "roffs", "Dall", "L", "interpret"))
+                     "fx_offs", "Dall", "L", "interpret"))
 def _emit_e2e_fused(params, lut, slab, init, lane_of, mrow, kind,
-                    start_el, span, starts_flat, order, cpos, pdirty,
-                    parent, *, window: int, min_interval: int, cap: int,
-                    T: int, roffs: tuple, Dall: int, L: int,
+                    starts_flat, fx_rowf, fx_valid, fx_ispl, fx_pd,
+                    fx_elmask, fx_srcF, fx_srcC, fx_sortn, fx_dst,
+                    fx_destF, *, window: int, min_interval: int,
+                    cap: int, T: int, fx_offs: tuple, Dall: int, L: int,
                     interpret: bool = False):
     """Steady-state merged-emit e2e as ONE device program: the Pallas
     kernel in mark_deg mode (degrees on marker rows) + the layout-cached
     post-pass (emit_post.post_steady). This removes every P-scale
     pass-1 stage from the steady state (code unpack, element-rank
-    cumsum, marker scatter — ~45 ms device at cnr/2048 scale)."""
+    cumsum, marker scatter — ~45 ms device at cnr/2048 scale) and all
+    fixup index math (cached per-slot layout)."""
     from .emit_pallas import decode_emit_pallas
     from .emit_post import post_steady
 
-    val, xch, nib, _rows, _ok, _diag = decode_emit_pallas(
+    val, xch, _nib, _rows, _ok, _diag = decode_emit_pallas(
         params, lut, slab, init, window, min_interval, cap, T=T,
         interpret=interpret, mark_deg=True)
-    val, xch, nib = val[:, :L], xch[:, :L], nib[:, :L]
-    return post_steady(val, xch, nib, lane_of, mrow, kind, start_el,
-                       span, starts_flat, order, cpos, pdirty, parent,
-                       roffs, Dall)
+    val, xch = val[:, :L], xch[:, :L]
+    return post_steady(val, xch, lane_of, mrow, kind, starts_flat,
+                       fx_rowf, fx_valid, fx_ispl, fx_pd, fx_elmask,
+                       fx_srcF, fx_srcC, fx_sortn, fx_dst, fx_destF,
+                       fx_offs, Dall)
 
 
 # Error shapes that mean "the merged-emit kernel cannot run here" (CPU
@@ -740,18 +743,26 @@ class TpuGraphDecoder:
         # smallest power-of-two T that leaves only a trace of dirty
         # nodes (they cost fixup passes); bigger T costs VMEM, which
         # costs chunk width, which costs sequential grid steps.
+        import os
         T = self.EMIT_RING_T
         degs = pl.get("degs_np")
+        t_env = os.environ.get("WGT_EMIT_T")
+        if t_env:
+            T = int(t_env)
+            degs = None     # skip the adaptive escalation
         if degs is not None:
             W2 = max(W, 1)
             cs = np.concatenate([[0], np.cumsum(degs, dtype=np.int64)])
             ws = cs[W2:] - cs[:-W2] if len(cs) > W2 else cs[-1:]
-            # ring depth costs VMEM -> chunk width -> sequential grid
-            # steps; escalate past Gc=1024-compatible depths only when
-            # ring overflow would leave more than ~1% of nodes dirty
-            for cand_t, budget in ((512, max(64, n // 2000)),
-                                   (1024, max(64, n // 100)),
-                                   (2048, max(64, n // 100)),
+            # ring depth costs VMEM (-> chunk width -> sequential grid
+            # steps) AND per-step where-tree depth in the kernel's ring
+            # read; with the cached-index fixup (emit_post._fixup_steady)
+            # dirty nodes are cheap, so prefer SMALL rings and escalate
+            # only when ring overflow would dirty ~1% of nodes
+            for cand_t, budget in ((256, max(64, n // 1000)),
+                                   (512, max(64, n // 100)),
+                                   (1024, max(64, n // 50)),
+                                   (2048, max(64, n // 50)),
                                    (4096, n)):
                 T = cand_t
                 if int((ws > cand_t).sum()) <= budget:
@@ -879,17 +890,18 @@ class TpuGraphDecoder:
         # steady state: cap known, plan verified, post meta cached ->
         # ONE fused dispatch (kernel + post-pass), zero host syncs
         mc0 = pl0.get("post_meta") or {}
-        if pl0.get("verified") and "mrow_d" in mc0:
+        if pl0.get("verified") and "fx_offs" in mc0:
             import os
             return _emit_e2e_fused(
                 self.params, pl0["lut"], pl0["slab"], pl0["init"],
                 mc0["lane_of_d"], mc0["mrow_d"], mc0["kind_d"],
-                mc0["start_el_d"], mc0["span_d"], mc0["starts_flat_d"],
-                mc0["order_d"], mc0["cpos_d"], mc0["pdirty_d"],
-                mc0["parent_d"], window=self.window,
+                mc0["starts_flat_d"], mc0["fx_rowf"], mc0["fx_valid"],
+                mc0["fx_ispl"], mc0["fx_pd"], mc0["fx_elmask"],
+                mc0["fx_srcF"], mc0["fx_srcC"], mc0["fx_sortn"],
+                mc0["fx_dst"], mc0["fx_destF"], window=self.window,
                 min_interval=self.min_interval, cap=pl0["cap"],
                 T=pl0.get("T", self.EMIT_RING_T),
-                roffs=mc0["roffs"], Dall=mc0["Dall"],
+                fx_offs=mc0["fx_offs"], Dall=mc0["Dall"],
                 L=len(pl0["starts_np"]),
                 interpret=os.environ.get("WGT_PALLAS") == "interpret")
         check = not pl0.get("verified")
