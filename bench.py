@@ -84,11 +84,12 @@ def main():
     # independent rANS blocks, optimal for the lane-parallel TPU
     # decoder). Each architecture is benchmarked on its own layout; both
     # decode bit-exactly and the block file is within a few KB.
+    from webgraph_ans_tpu.bvgraph.store import store_layouts
     L = int(os.environ.get("WGT_BENCH_LANES", "2048"))
     t0 = time.time()
-    store(base, out)
-    res_blk = store(base, out + "-blk", encode_blocks=L)
-    log(f"compress (2x 3-pass; serial + {L} encode blocks) "
+    _res_serial, res_blk = store_layouts(
+        base, [(out, 1), (out + "-blk", L)])
+    log(f"compress (passes 1-2 shared; serial + {L}-block layouts) "
         f"in {time.time() - t0:.2f}s")
 
     g_serial = ANSBvGraph.load(out)
@@ -222,7 +223,7 @@ def main():
     # script.py:24; their headline speed table README.md:141-150) ----
     hc = {}
     try:
-        hc = bench_hc(base, tmp, adj)
+        hc = bench_hc(base, tmp, adj, run_device_bench)
     except Exception as e:  # noqa: BLE001
         log(f"hc section FAILED: {e!r}")
 
@@ -263,14 +264,14 @@ def main():
     print(json.dumps(payload))
 
 
-def bench_hc(base, tmp, adj):
-    """High-compression cnr-2000: bits/link + serial CPU sequential
-    decode (the reference's hc headline is sequential speed). The device
-    pipeline decodes hc bit-exactly through the deep-chain while-loop
-    path, but its depth-SERIAL copy resolution (cnr hc chains reach
-    depth 4506) makes it minutes-slow — measured once behind
-    WGT_BENCH_HC_DEVICE=1, documented in ARCHITECTURE.md as the known
-    structural gap."""
+def bench_hc(base, tmp, adj, run_device_bench):
+    """High-compression cnr-2000 (-w 16 -c 2e9 -l 4): bits/link, serial
+    CPU sequential decode, and the TPU merged-emit e2e decode. The hc
+    artifact is compressed with safe_break_interval=128 — this
+    framework's format extension that forbids references every 128th
+    node (+0.1-0.2% size) so the unbounded hc copy chains stay
+    lane-splittable for the parallel decoder; the emit subprocess
+    verifies bit-exactness in its warmup."""
     import time as _t
 
     import numpy as np
@@ -280,7 +281,7 @@ def bench_hc(base, tmp, adj):
 
     hcb = os.path.join(tmp, "cnr-hc")
     store(base, hcb, compression_window=16, max_ref_count=2_000_000_000,
-          min_interval_length=4)
+          min_interval_length=4, safe_break_interval=128)
     seq = ANSBvGraphSeq.load(hcb)
     arcs = seq.num_arcs
     bits = os.path.getsize(hcb + ".ans") * 8 / arcs
@@ -295,27 +296,13 @@ def bench_hc(base, tmp, adj):
         f"{np.median(times):.3f}s = {cpu_ns:.2f} ns/arc")
     out = {"hc_bits_per_link": round(bits, 3),
            "hc_cpu_ns_per_arc": round(cpu_ns, 2)}
-    if os.environ.get("WGT_BENCH_HC_DEVICE") == "1":
-        import jax
-
-        from webgraph_ans_tpu.bvgraph.random_access import ANSBvGraph
-        from webgraph_ans_tpu.ops.graph_decode import TpuGraphDecoder
-
-        g = ANSBvGraph.load(hcb)
-        dtpu = TpuGraphDecoder(g)
-        t0 = _t.time()
-        offs, succs, E = dtpu.decode_to_csr_device(num_lanes=2048)
-        jax.block_until_ready(succs)
-        warm = _t.time() - t0
-        assert np.array_equal(np.asarray(succs[:E]).astype(np.uint32),
-                              adj.succs)
-        t0 = _t.time()
-        offs, succs, E = dtpu.decode_to_csr_device(num_lanes=2048)
-        jax.block_until_ready(succs)
-        dt = _t.time() - t0
-        out["hc_e2e_ns_per_arc"] = round(dt / arcs * 1e9, 2)
-        log(f"hc device e2e: {dt:.1f}s = {out['hc_e2e_ns_per_arc']} "
-            f"ns/arc (warm {warm:.1f}s; depth-serial rounds)")
+    r = run_device_bench(hcb, "emit", 5, 2048, {"WGT_BENCH_SRC": base})
+    if r is not None:
+        out["hc_e2e_ns_per_arc"] = round(r["ns_per_arc"], 2)
+        out["hc_e2e_vs_baseline"] = round(cpu_ns / r["ns_per_arc"], 3)
+        log(f"hc TPU emit e2e: {r['sec_per_rep']*1e3:.1f} ms/rep = "
+            f"{r['ns_per_arc']:.2f} ns/arc (vs CPU "
+            f"{out['hc_e2e_vs_baseline']}x)")
     return out
 
 
@@ -348,6 +335,8 @@ def bench_synth(run_device_bench):
         save_states(base, res.states)
         save_pointers(base, res.pointers)
         np.save(os.path.join(cache, "succs.npy"), adj.succs)
+        np.save(os.path.join(cache, "offs.npy"),
+                adj.offsets.astype(np.int64))
         log(f"synth compress: {time.time() - t0:.1f}s, "
             f"{os.path.getsize(base + '.ans') * 8 / adj.num_arcs:.3f} "
             "bits/link")

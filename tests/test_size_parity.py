@@ -53,3 +53,26 @@ def test_cnr2000_size_lock(mf, golden):
     bits_per_link = size * 8 / CNR_ARCS
     # the reference reports -5..-11% vs BVGraph across its corpus
     assert bits_per_link < BVGRAPH_BITS_PER_LINK * 0.95
+
+
+# high-compression golden sizes (-w 16 -c 2000000000 -l 4; reference
+# script.py:24). The safe-break variant is this framework's format
+# extension for parallel hc decode (reference floor at every 128th node
+# + element-aware early breaks in dense regions): +1.6% over the
+# unconstrained hc stream, still far below BVGraph.
+GOLDEN_HC = 876978
+GOLDEN_HC_BRK128 = 890870
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("brk,golden", [(0, GOLDEN_HC),
+                                        (128, GOLDEN_HC_BRK128)])
+def test_cnr2000_hc_size_lock(brk, golden):
+    out = os.path.join(tempfile.mkdtemp(prefix="wgt_size_"), "cnr-hc")
+    store(BASE, out, compression_window=16, max_ref_count=2_000_000_000,
+          min_interval_length=4, safe_break_interval=brk)
+    size = os.path.getsize(out + ".ans")
+    assert size == golden, (
+        f"hc .ans size changed: {size} != {golden} "
+        f"(safe_break_interval={brk})")
+    assert size * 8 / CNR_ARCS < BVGRAPH_BITS_PER_LINK * 0.80

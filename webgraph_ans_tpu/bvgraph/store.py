@@ -301,13 +301,39 @@ def compress_adjacency(adj: Adjacency, compression_window: int = 7,
                        max_frame_log2: int = 12,
                        encode_blocks: int = 1,
                        spill_path: str | None = None,
-                       spill_chunk_tokens: int = 1 << 22) -> CompressionResult:
+                       spill_chunk_tokens: int = 1 << 22,
+                       safe_break_interval: int = 0) -> CompressionResult:
     """encode_blocks > 1 runs pass 3's rANS encode lane-parallel on the
     device (ops/encode_jax.py): the stream splits into that many
     independent blocks at token-balanced node boundaries, recorded in the
     prelude's block table. encode_blocks=1 is the serial native encode
     (bit-identical to the reference pipeline); with spill_path set it
-    runs out-of-core with O(spill_chunk_tokens) RAM."""
+    runs out-of-core with O(spill_chunk_tokens) RAM.
+
+    safe_break_interval > 0 forbids references at every k-th node, so no
+    copy chain crosses those nodes — a format extension of this
+    framework that keeps HIGH-COMPRESSION artifacts (-w 16, unbounded
+    max_ref, chains thousands deep) lane-splittable for the parallel
+    TPU decoder, at a size cost of ~n/k forced-no-ref nodes (measured
+    +0.3% on cnr-2000 hc at k=1024)."""
+    t0 = time.time()
+    if safe_break_interval:
+        native.get_lib().wgt_set_safe_break(safe_break_interval)
+    try:
+        return _compress_adjacency(
+            adj, compression_window, max_ref_count, min_interval_length,
+            use_tpu_model_search, max_frame_log2, encode_blocks,
+            spill_path, spill_chunk_tokens)
+    finally:
+        if safe_break_interval:
+            native.get_lib().wgt_set_safe_break(0)
+
+
+def _build_models(adj, compression_window, max_ref_count,
+                  min_interval_length, use_tpu_model_search,
+                  max_frame_log2):
+    """Passes 1-2: bootstrap + refined model (shared by every encode of
+    the same graph/flags; reference random_access.rs:105-164)."""
     t0 = time.time()
     # Pass 1: bootstrap model with the log2 estimator.
     hist1 = _run_histogram_pass(
@@ -334,9 +360,15 @@ def compress_adjacency(adj: Adjacency, compression_window: int = 7,
     else:
         model2 = build_model(hist2, max_frame_log2)
     log.info("pass 2 (entropy histograms + model) in %.2fs", time.time() - t1)
+    return model2, tables1, hist2
 
-    # Pass 3: encode with the pass-2 model; selection still driven by the
-    # pass-1 estimator, exactly like the reference (random_access.rs:166-196).
+
+def _encode_with_models(adj, model2, tables1, hist2, compression_window,
+                        max_ref_count, min_interval_length, encode_blocks,
+                        spill_path, spill_chunk_tokens):
+    """Pass 3: encode with the pass-2 model; selection still driven by
+    the pass-1 estimator, exactly like the reference
+    (random_access.rs:166-196)."""
     t2 = time.time()
     blocks = None
     if encode_blocks > 1:
@@ -365,7 +397,54 @@ def compress_adjacency(adj: Adjacency, compression_window: int = 7,
         min_interval_length=min_interval_length,
         blocks=blocks,
     )
-    return CompressionResult(prelude, states, pointers, model_report(model2, hist2), tables1)
+    return CompressionResult(prelude, states, pointers,
+                             model_report(model2, hist2), tables1)
+
+
+def _compress_adjacency(adj, compression_window, max_ref_count,
+                        min_interval_length, use_tpu_model_search,
+                        max_frame_log2, encode_blocks, spill_path,
+                        spill_chunk_tokens) -> CompressionResult:
+    model2, tables1, hist2 = _build_models(
+        adj, compression_window, max_ref_count, min_interval_length,
+        use_tpu_model_search, max_frame_log2)
+    return _encode_with_models(
+        adj, model2, tables1, hist2, compression_window, max_ref_count,
+        min_interval_length, encode_blocks, spill_path,
+        spill_chunk_tokens)
+
+
+def store_layouts(basename: str, outputs, compression_window: int = 7,
+                  max_ref_count: int = 3, min_interval_length: int = 2,
+                  max_frame_log2: int = 12,
+                  safe_break_interval: int = 0):
+    """Compresses one graph into SEVERAL stream layouts (e.g. the serial
+    single-stream file and a block-parallel file) while running the
+    model passes 1-2 only ONCE — the layouts differ only in pass 3.
+    `outputs` is a list of (new_basename, encode_blocks); returns the
+    CompressionResult per output, artifacts identical to per-layout
+    store() calls (the passes are deterministic)."""
+    adj, _props = load_bvgraph(basename)
+    if safe_break_interval:
+        native.get_lib().wgt_set_safe_break(safe_break_interval)
+    try:
+        model2, tables1, hist2 = _build_models(
+            adj, compression_window, max_ref_count, min_interval_length,
+            False, max_frame_log2)
+        results = []
+        for new_basename, encode_blocks in outputs:
+            res = _encode_with_models(
+                adj, model2, tables1, hist2, compression_window,
+                max_ref_count, min_interval_length, encode_blocks,
+                None, 1 << 22)
+            res.prelude.save(new_basename)
+            save_states(new_basename, res.states)
+            save_pointers(new_basename, res.pointers)
+            results.append(res)
+        return results
+    finally:
+        if safe_break_interval:
+            native.get_lib().wgt_set_safe_break(0)
 
 
 def store(basename: str, new_basename: str, compression_window: int = 7,
@@ -376,7 +455,8 @@ def store(basename: str, new_basename: str, compression_window: int = 7,
           phase_step: int = 1,
           spill_path: str | None = None,
           spill_chunk_tokens: int = 1 << 22,
-          streaming: bool = False) -> CompressionResult:
+          streaming: bool = False,
+          safe_break_interval: int = 0) -> CompressionResult:
     """Recompresses the BVGraph at `basename` into `new_basename.{ans,pointers,states}`
     (reference: ANSBvGraph::store, random_access.rs:91-222).
 
@@ -399,10 +479,17 @@ def store(basename: str, new_basename: str, compression_window: int = 7,
         if encode_blocks > 1 or use_tpu_model_search:
             raise ValueError("streaming store supports the serial native "
                              "pipeline (encode_blocks=1, host model search)")
-        result = compress_bvgraph_streaming(
-            basename, compression_window, max_ref_count,
-            min_interval_length, max_frame_log2=max_frame_log2,
-            spill_path=spill_path, spill_chunk_tokens=spill_chunk_tokens)
+        if safe_break_interval:
+            native.get_lib().wgt_set_safe_break(safe_break_interval)
+        try:
+            result = compress_bvgraph_streaming(
+                basename, compression_window, max_ref_count,
+                min_interval_length, max_frame_log2=max_frame_log2,
+                spill_path=spill_path,
+                spill_chunk_tokens=spill_chunk_tokens)
+        finally:
+            if safe_break_interval:
+                native.get_lib().wgt_set_safe_break(0)
     else:
         adj, _props = load_bvgraph(basename)
         result = compress_adjacency(
@@ -412,6 +499,7 @@ def store(basename: str, new_basename: str, compression_window: int = 7,
             encode_blocks=encode_blocks,
             spill_path=spill_path,
             spill_chunk_tokens=spill_chunk_tokens,
+            safe_break_interval=safe_break_interval,
         )
     prelude, states, pointers = result.prelude, result.states, result.pointers
     if phase_step > 1:

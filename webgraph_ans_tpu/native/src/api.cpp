@@ -127,6 +127,11 @@ static EncoderModel make_encoder_model(const uint16_t* freqs,
 // ---------------------------------------------------------------------------
 // BvComp pass 1/2: histograms.
 // ---------------------------------------------------------------------------
+// Reference-safe break interval for all subsequent BvComp walks (0 =
+// off). Process-global: a store() run sets it once before its passes
+// and resets it after (see bvgraph/store.py).
+void wgt_set_safe_break(uint32_t k) { BvComp::safe_break() = k; }
+
 struct HistResult {
   std::vector<std::vector<uint64_t>> syms, counts;
 };

@@ -233,12 +233,44 @@ class BvComp {
         lists_(ring_),
         ref_counts_(ring_, 0) {}
 
+  // Reference-safe break interval: when > 0, no reference may reach
+  // past a multiple of k — node x's candidates are floored at
+  // floor(x/k)*k — so no copy chain crosses those nodes and every
+  // multiple of k is a safe lane boundary for the parallel decoder.
+  // This is a format extension of THIS framework (the reference has no
+  // equivalent): it bounds reference-chain length for the lane-parallel
+  // TPU decoder at a negligible size cost (references are constrained
+  // only for the `window` nodes after each break), which is what makes
+  // high-compression mode (-w 16, unbounded max_ref) decodable in
+  // parallel. All three passes of a store() run must use the same
+  // value (set via wgt_set_safe_break).
+  static unsigned& safe_break() {
+    static unsigned k = 0;
+    return k;
+  }
+
   void push(uint64_t x, const uint64_t* succ, size_t d) {
     curr_.assign(succ, succ + d);
     uint64_t best_ref = 0;
+    unsigned brk = safe_break();
+    uint64_t floor_node = 0;
+    if (brk) {
+      // break every k nodes AND whenever 32k elements accumulated
+      // since the last break: dense regions break early, so every
+      // inter-break segment is bounded in BOTH nodes and elements —
+      // the parallel decoder's lane balance depends on the latter.
+      // Deterministic across passes (depends only on outdegrees).
+      if (x % brk == 0 || elems_since_break_ >= 32ull * brk) {
+        last_break_ = x;
+        elems_since_break_ = 0;
+      }
+      elems_since_break_ += d;
+      floor_node = last_break_;
+    }
     if (d > 0 && window_ > 0) {
       uint64_t best_cost = plan_cost(x, 0);
-      uint64_t max_back = std::min<uint64_t>(window_, x);
+      uint64_t max_back =
+          std::min<uint64_t>(std::min<uint64_t>(window_, x), x - floor_node);
       for (uint64_t r = 1; r <= max_back; ++r) {
         if (ref_counts_[(x - r) % ring_] >= max_ref_count_) continue;
         uint64_t c = plan_cost(x, r);
@@ -413,6 +445,8 @@ class BvComp {
   std::vector<std::vector<uint64_t>> lists_;
   std::vector<unsigned> ref_counts_;
   std::vector<uint64_t> curr_;
+  uint64_t last_break_ = 0;
+  uint64_t elems_since_break_ = 0;
 };
 
 }  // namespace wgans

@@ -433,13 +433,21 @@ def postprocess(val, xch, nib, lane_of_np, lane_starts_np, n: int,
         # clean = 0; dirty = 1 + depth of the (possibly dirty) parent;
         # ref == 0 dirty nodes (queue overflow) have no parent: depth 1
         ddep = np.where(dirty, 1, 0).astype(np.int32)
-        for _ in range(64):
+        for _ in range(4096):
             upd = dirty & hasref & (ddep <= ddep[parent])
             if not upd.any():
                 break
             ddep = np.where(upd, ddep[parent] + 1, ddep)
         else:
-            raise RuntimeError("dirty chains deeper than 64")
+            raise RuntimeError("dirty chains deeper than 4096")
+        if int(ddep.max()) > 192:
+            # each chain level is one fixup round (a static slice of the
+            # compiled program); past ~192 the program size and round
+            # overheads beat the sort path. safe_break_interval <= 128
+            # at compress time bounds in-lane taint chains below this.
+            raise RuntimeError(
+                f"dirty chains {int(ddep.max())} rounds deep "
+                "(fixup supports <= 192)")
         mc["ddep"] = ddep
         mc["parent"] = parent.astype(np.int32)
         mc["rounds"] = int(ddep.max())

@@ -609,6 +609,31 @@ class TpuGraphDecoder:
         degs = pl.get("degs_np")
         if degs is None:
             starts, ends = self._block_bounds(num_lanes)
+            if (self.window > 12 and self.phase_step == 1
+                    and self.graph.prelude.blocks is None):
+                # hc-class artifacts (deep unbounded chains): even the
+                # FIRST decode must split at reference-safe nodes — a
+                # 4*window halo cannot cover thousand-deep chains, and
+                # cross-lane dirt would explode the fixup rounds. Safe
+                # nodes exist when the artifact was compressed with
+                # safe_break_interval (this framework's hc format
+                # extension); without them this degrades to one lane.
+                if "safe_np" not in pl:
+                    pl["safe_np"] = self._safe_boundaries()
+                safe_nodes = np.nonzero(pl["safe_np"])[0]
+                idx = np.searchsorted(safe_nodes, starts, side="right") - 1
+                snapped = safe_nodes[np.maximum(idx, 0)]
+                snapped[0] = 0
+                bounds = np.unique(snapped)
+                n = self.num_nodes
+                if len(bounds) < len(starts):
+                    bounds = np.concatenate(
+                        [bounds, np.full(len(starts) - len(bounds), n,
+                                         bounds.dtype)])
+                starts = bounds
+                ends = np.empty_like(starts)
+                ends[:-1] = starts[1:]
+                ends[-1] = n
             return starts, ends
         n = self.num_nodes
         safe = pl.get("safe_np")
@@ -634,9 +659,11 @@ class TpuGraphDecoder:
                 # prefer safe boundaries; inside long unsafe stretches
                 # (dense reference regions) force an unsafe one at 1.5x
                 # target - a handful of cross-lane dirty nodes beats a
-                # multi-thousand-step straggler lane
+                # multi-thousand-step straggler lane. hc-class windows
+                # (> 12) never force: their chains are thousands deep,
+                # so one unsafe cut would cascade dirt down the lane
                 close = acc + w > target and (safe is None or safe[x])
-                close |= acc + w > 1.5 * target
+                close |= (acc + w > 1.5 * target) and self.window <= 12
                 if close and x > blist[-1]:
                     if len(blist) == num_lanes:
                         return None
@@ -881,11 +908,13 @@ class TpuGraphDecoder:
         from . import emit_post
 
         pl0 = self._plans.setdefault(("emit", num_lanes), {})
-        # hc-class artifacts (large windows, unbounded ref chains) go
-        # straight to the sort path: the emit kernel is validated for
-        # window <= 12, and a device fault would wedge the chip past
-        # any exception-level fallback
-        if pl0.get("emit_broken") or self.window > 12:
+        # windows past 16 (beyond the validated register layouts) go
+        # straight to the sort path; hc-class artifacts (window <= 16,
+        # unbounded ref chains) run the emit kernel with lane bounds
+        # snapped to reference-safe nodes (safe_break_interval format
+        # extension) — without safe nodes the post-pass raises on the
+        # deep dirty chains and this falls back gracefully
+        if pl0.get("emit_broken") or self.window > 16:
             return self._adjacency_via_sort_path(num_lanes)
         # steady state: cap known, plan verified, post meta cached ->
         # ONE fused dispatch (kernel + post-pass), zero host syncs

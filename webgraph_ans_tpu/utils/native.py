@@ -46,6 +46,7 @@ def _declare(lib: ctypes.CDLL) -> None:
     )
     sigs = {
         "wgt_last_error": ([], c.c_char_p),
+        "wgt_set_safe_break": ([u32], None),
         "wgt_adj_num_arcs": ([void_p], u64),
         "wgt_adj_num_offsets": ([void_p], u64),
         "wgt_adj_get_offsets": ([void_p, u64p], None),
