@@ -64,3 +64,31 @@ def test_sharded_decode_block_encoded_file():
     got_v, got_c = dec.decode_tokens(lanes_per_device=4)
     offsets, succs = reconstruct(got_v, got_c, adj.num_nodes, 2)
     assert Adjacency(offsets, succs).to_lists() == lists
+
+
+def test_sharded_emit_adjacency_bit_exact(monkeypatch):
+    """Merged-emit kernel chunks sharded over the 8-device mesh
+    (interpret-mode Pallas inside shard_map): the gathered channels must
+    post-process to the exact adjacency (VERDICT r04 item 4)."""
+    monkeypatch.setenv("WGT_PALLAS", "interpret")
+    from webgraph_ans_tpu.bvgraph.synth import synth_web_graph
+    from webgraph_ans_tpu.ops.graph_decode import TpuGraphDecoder
+    from webgraph_ans_tpu.parallel.sharded import sharded_emit_adjacency
+
+    adj = synth_web_graph(700, seed=13)
+    res = compress_adjacency(adj)
+    g = ANSBvGraph(res.prelude, res.states, res.pointers)
+    dec = TpuGraphDecoder(g)
+    mesh = make_mesh()
+    s2d, st, dg = sharded_emit_adjacency(mesh, dec, num_lanes=16,
+                                         interpret=True)
+    F = np.asarray(s2d).reshape(-1)
+    stn = np.asarray(st).astype(np.int64)
+    d = np.asarray(dg).astype(np.int64)
+    G = np.asarray(s2d).shape[1]
+    offs = adj.offsets.astype(np.int64)
+    assert np.array_equal(d, np.diff(offs))
+    for x in range(adj.num_nodes):
+        got = F[stn[x] + np.arange(d[x]) * G].astype(np.uint32)
+        np.testing.assert_array_equal(got, adj.succs[offs[x]:offs[x + 1]],
+                                      err_msg=f"node {x}")

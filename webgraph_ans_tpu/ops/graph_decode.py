@@ -591,19 +591,18 @@ class TpuGraphDecoder:
 
     # output-ring rows for the merged-emit kernel: copy sources older
     # than this many emitted rows make the node dirty (fixup-resolved).
-    # VMEM: ring = T * Gc * 4 (scratch) + slab smaxp * Gc * 4 (x2
-    # double-buffered); the chunking rule in _emit_plan sizes Gc so both
-    # fit. T=512 covers all but ~0.3% of cnr's reference windows.
+    # The chunking rule in _emit_plan sizes the chunk width Gc so ring +
+    # stream slab + register file fit EMIT_VMEM_BUDGET. T=512 covers
+    # all but ~0.3% of cnr's reference windows.
     EMIT_RING_T = 512          # first-decode default (power of two)
-    EMIT_RING_LIMIT = 4 << 20
-    EMIT_SLAB_LIMIT = 2 << 20
+    EMIT_VMEM_BUDGET = 9 << 20
 
-    def _emit_bounds(self, num_lanes: int):
+    def _emit_bounds(self, num_lanes: int, key=None):
         """Lane bounds for the merged-emit kernel. First call: the
         stream-balanced block bounds. Once per-node degrees are known
         (cached from a decode), a minmax split over (elements + 2*nodes)
         — the kernel's step estimate — replaces them."""
-        pl = self._plans.setdefault(("emit", num_lanes), {})
+        pl = self._plans.setdefault(key or ("emit", num_lanes), {})
         if "bounds" in pl:
             return pl["bounds"]
         degs = pl.get("degs_np")
@@ -705,16 +704,20 @@ class TpuGraphDecoder:
         pl["bounds"] = (starts, ends)
         return starts, ends
 
-    def _emit_plan(self, num_lanes: int):
+    def _emit_plan(self, num_lanes: int, chunk_multiple: int = 1):
         """Plan for decode_emit_pallas: slab + emit register file on the
-        merged-emit lane bounds."""
+        merged-emit lane bounds. chunk_multiple > 1 forces the kernel
+        chunk count to a multiple of it (mesh-sharded decode: chunks
+        shard evenly over the devices of a 'blocks' axis)."""
         from . import decode_pallas as dp
         from . import emit_pallas as ep
 
-        pl = self._plans.setdefault(("emit", num_lanes), {})
+        key = (("emit", num_lanes) if chunk_multiple == 1
+               else ("emit", num_lanes, chunk_multiple))
+        pl = self._plans.setdefault(key, {})
         if "init" in pl:
             return pl
-        rstarts, ends = self._emit_bounds(num_lanes)
+        rstarts, ends = self._emit_bounds(num_lanes, key=key)
         rstarts = np.asarray(rstarts, np.int64)
         ends = np.asarray(ends, np.int64)
         W = self.window
@@ -795,17 +798,22 @@ class TpuGraphDecoder:
                 if int((ws > cand_t).sum()) <= budget:
                     break
         pl["T"] = T
-        # chunk lanes so BOTH the stream slab and the T-row output ring
-        # fit VMEM: chunk width Gc must satisfy smaxp*Gc*4 <= slab
-        # budget (double-buffered) and T*Gc*4 <= ring budget (scratch,
-        # single-buffered)
+        # chunk lanes so the whole kernel-resident state fits VMEM:
+        # ring (T rows, scratch), stream slab (double-buffered), and
+        # the register file (init input + scratch) all scale with the
+        # chunk width Gc. The 9 MB budget leaves ~7 MB of headroom for
+        # the LUT, output blocks, and Mosaic stack (16 MB/core total;
+        # the old slab/ring-only rule OOMed on hc's 196-row register
+        # file).
+        nreg = ep._layout(self.window)[-1]
+        vmem_per_lane = T * 4 + smaxp * 8 + nreg * 8
         nch = None
-        for cand in range(1, L // 128 + 2):
+        for i in range(1, L // 128 + 2):
+            cand = i * chunk_multiple
             quantum = 128 * cand
             gpad_c = -(-L // quantum) * quantum
             gc = gpad_c // cand
-            if (smaxp * gc * 4 <= self.EMIT_SLAB_LIMIT
-                    and T * gc * 4 <= self.EMIT_RING_LIMIT):
+            if vmem_per_lane * gc <= self.EMIT_VMEM_BUDGET:
                 nch, gpad = cand, gpad_c
                 break
         if nch is None:

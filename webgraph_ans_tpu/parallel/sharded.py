@@ -100,6 +100,68 @@ def sharded_histogram(mesh: Mesh, symbols, components, num_bins: int):
     return run(symbols, components)
 
 
+def sharded_emit_adjacency(mesh: Mesh, dec, num_lanes: int = 2048,
+                           interpret: bool = False):
+    """The MERGED-EMIT pipeline with the kernel's chunk axis sharded
+    over the mesh's 'blocks' axis: each device runs decode_emit_pallas
+    on its own chunks (its slab shard + register-file shard; the LUT is
+    replicated — one ICI broadcast), and the channel outputs concatenate
+    back into the exact single-chip lane layout, so the post-pass
+    (emit_post.postprocess) runs unchanged on the gathered channels
+    (GSPMD places it). Returns (succs2d, starts_flat, degs) in the
+    decode_to_adjacency_device contract, bit-exact vs the single-chip
+    path.
+
+    `dec` is a TpuGraphDecoder; the plan forces the chunk count to a
+    multiple of the mesh size so chunks shard evenly."""
+    import os
+
+    from ..ops import emit_post
+    from ..ops.decode_jax import UNROLL
+    from ..ops.emit_pallas import decode_emit_pallas
+
+    ndev = mesh.devices.size
+    axis = mesh.axis_names[0]
+    pl = dec._emit_plan(num_lanes, chunk_multiple=ndev)
+    if pl.get("init") is None:
+        raise RuntimeError("sharded emit plan infeasible (VMEM budget)")
+    cap = pl["cap"]
+    T = pl.get("T", dec.EMIT_RING_T)
+    interp = interpret or os.environ.get("WGT_PALLAS") == "interpret"
+    params, window, mi = dec.params, dec.window, dec.min_interval
+
+    while True:
+        @functools.partial(
+            shard_map, mesh=mesh,
+            in_specs=(P(), P(axis), P(axis)),
+            out_specs=(P(None, axis), P(None, axis), P(None, axis),
+                       P(axis), P(axis), P(None, axis)),
+            check_vma=False)
+        def run(lut_, slab_, init_):
+            return decode_emit_pallas(params, lut_, slab_, init_, window,
+                                      mi, cap, T=T, interpret=interp)
+
+        val, xch, nib, rows, ok, diag = run(pl["lut"], pl["slab"],
+                                            pl["init"])
+        L = len(pl["starts_np"])
+        if bool(np.all(np.asarray(ok[:L]))):
+            pl["cap"] = cap
+            break
+        cap = -(-cap * 2 // UNROLL) * UNROLL
+
+    val, xch, nib = val[:, :L], xch[:, :L], nib[:, :L]
+    n = dec.num_nodes
+    if "lane_of" not in pl:
+        lane_of = np.zeros(n, np.int32)
+        for li in range(L):
+            lane_of[pl["starts_np"][li]:pl["ends_np"][li]] = li
+        pl["lane_of"] = lane_of
+    mc = pl.setdefault("post_meta", {})
+    succs2d, starts_flat, degs, _tabs = emit_post.postprocess(
+        val, xch, nib, pl["lane_of"], pl["starts_np"], n, meta_cache=mc)
+    return succs2d, starts_flat, degs
+
+
 class ShardedGraphDecoder:
     """Mesh-parallel variant of TpuGraphDecoder: lanes spread across all
     devices of the mesh, tables/stream replicated."""
