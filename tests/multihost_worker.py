@@ -17,6 +17,7 @@ jax.config.update("jax_platforms", "cpu")
 def main():
     coord, nproc, pid, outfile = (
         sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), sys.argv[4])
+    mode = sys.argv[5] if len(sys.argv) > 5 else "std"
     jax.distributed.initialize(coord, num_processes=nproc, process_id=pid)
     assert jax.process_count() == nproc
     assert jax.process_index() == pid
@@ -36,7 +37,14 @@ def main():
         dd = int(rng.integers(0, 12))
         lists.append(sorted(rng.choice(400, size=dd, replace=False).tolist()))
     adj = Adjacency.from_lists(lists)
-    res = compress_adjacency(adj, 7, 3, 2)
+    if mode == "hc":
+        # high-compression params: window 16, unbounded max_ref ->
+        # reference chains cross the shard boundaries and the workers
+        # must resolve the cross-shard closure (safe breaks bound it)
+        res = compress_adjacency(adj, 16, 2_000_000_000, 4,
+                                 safe_break_interval=64)
+    else:
+        res = compress_adjacency(adj, 7, 3, 2)
     g = ANSBvGraph(res.prelude, res.states, res.pointers)
 
     mh = MultihostGraphDecoder(g, lanes_per_host=8)

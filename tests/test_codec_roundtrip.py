@@ -145,3 +145,42 @@ def test_phase_midstream_entry():
         )
         assert out[0] == deg
         np.testing.assert_array_equal(out[1:], res)
+
+
+def test_frame1_component_interleave_roundtrip():
+    """Regression: a component whose model collapses to a single symbol
+    (frame size 1, log_m = 0) must cost zero bits and NEVER renormalize
+    (reference component_model4encoder.rs:28-35 keeps the upperbound in
+    u64: (1<<32)*freq). A u32 bound once wrapped, shrank the state below
+    the decoder's lower bound, and desynced any model with a frame-1
+    component (found via a w=16 graph whose INTERVAL_COUNT stream was
+    all zeros)."""
+    import numpy as np
+    from webgraph_ans_tpu.ans.codec import (decode_raw, encode_raw,
+                                            model_from_sequences)
+
+    rng = np.random.default_rng(77)
+    # comp 4: constant stream -> frame-1 model; comps 1/7/8: mixed
+    seqs = {
+        1: rng.integers(0, 8, 500).astype(np.uint64),
+        4: np.zeros(300, np.uint64),
+        7: rng.zipf(1.8, 400).astype(np.uint64) % (1 << 20),
+        8: rng.zipf(1.5, 800).astype(np.uint64) % (1 << 16),
+    }
+    model = model_from_sequences(seqs)
+    assert any(len(c.freqs) == 1 and c.log_m == 0
+               for c in model.components), "fixture lost the frame-1 case"
+    order = rng.permutation(
+        np.concatenate([np.full(len(v), c) for c, v in seqs.items()]))
+    picks = {c: 0 for c in seqs}
+    vals, comps = [], []
+    for c in order:
+        c = int(c)
+        vals.append(seqs[c][picks[c]])
+        picks[c] += 1
+        comps.append(c)
+    vals = np.array(vals, np.uint64)
+    comps = np.array(comps, np.uint8)
+    enc = encode_raw(model, vals[::-1], comps[::-1])
+    back = decode_raw(model, enc.stream, enc.final_state, comps)
+    np.testing.assert_array_equal(back, vals)

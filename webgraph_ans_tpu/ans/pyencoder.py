@@ -30,7 +30,10 @@ class PyANSEncoder:
         for c in model.components:
             cum, up = [], []
             acc = 0
-            k = 16 - c.log_m if c.log_m > 0 else 15
+            # k = 16 - log_m exactly (reference
+            # component_model4encoder.rs:28-35: upperbound is u64;
+            # a frame-1 component has bound 2^32 and never shrinks)
+            k = 16 - c.log_m
             for f in c.freqs.tolist():
                 cum.append(acc & MASK16)
                 acc += int(f)

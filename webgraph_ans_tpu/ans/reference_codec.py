@@ -27,7 +27,7 @@ class PyANSEncoder:
         self._tables = []
         for c in model.components:
             cumul = c.cumul()
-            k = 16 - c.log_m if c.log_m > 0 else 15
+            k = 16 - c.log_m   # u64 bound; frame-1 never shrinks
             upper = [(1 << (k + B)) * int(f) for f in c.freqs]
             self._tables.append((c, cumul, upper))
 

@@ -15,7 +15,7 @@ namespace wgans {
 struct CompEncoderModel {
   std::vector<Freq> freqs;     // scaled frequency of each folded symbol
   std::vector<Freq> cumul;     // exclusive prefix sums of freqs (u16, may wrap)
-  std::vector<uint32_t> upper; // renorm upper bound: (1 << (k + B)) * freq
+  std::vector<uint64_t> upper; // renorm upper bound: (1 << (k + B)) * freq
   unsigned log_m = 0;          // log2 of the frame size
   unsigned radix = 2;
   unsigned fidelity = 2;
@@ -24,15 +24,20 @@ struct CompEncoderModel {
 
   // Derives cumul/upper/threshold/offset from freqs + params, matching
   // reference builder.rs:216-234 and component_model4encoder.rs:28-35.
+  // upper is u64 like the reference's EncoderModelEntry::upperbound:
+  // for log_m = 0 (single-symbol frame) the bound is 2^32 — the symbol
+  // costs zero bits and must NEVER renormalize (a u32 bound here once
+  // wrapped and drove the state below the decoder's lower bound,
+  // desyncing any model with a frame-1 component).
   void finalize() {
     cumul.resize(freqs.size());
     upper.resize(freqs.size());
-    unsigned k = log_m > 0 ? 16 - log_m : 15;
+    unsigned k = 16 - log_m;
     uint16_t acc = 0;
     for (size_t i = 0; i < freqs.size(); ++i) {
       cumul[i] = acc;
       acc = static_cast<uint16_t>(acc + freqs[i]);  // wraps like checked_add...unwrap_or(0)
-      upper[i] = (1u << (k + B)) * static_cast<uint32_t>(freqs[i]);
+      upper[i] = (1ULL << (k + B)) * static_cast<uint64_t>(freqs[i]);
     }
     folding_threshold = 1ULL << (fidelity + radix - 1);
     folding_offset = ((1ULL << radix) - 1) * (1ULL << (fidelity - 1));

@@ -255,12 +255,12 @@ class BvComp {
     unsigned brk = safe_break();
     uint64_t floor_node = 0;
     if (brk) {
-      // break every k nodes AND whenever 32k elements accumulated
+      // break every k nodes AND whenever 16k elements accumulated
       // since the last break: dense regions break early, so every
       // inter-break segment is bounded in BOTH nodes and elements —
       // the parallel decoder's lane balance depends on the latter.
       // Deterministic across passes (depends only on outdegrees).
-      if (x % brk == 0 || elems_since_break_ >= 32ull * brk) {
+      if (x % brk == 0 || elems_since_break_ >= 16ull * brk) {
         last_break_ = x;
         elems_since_break_ = 0;
       }

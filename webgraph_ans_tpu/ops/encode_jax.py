@@ -87,10 +87,16 @@ def build_encoder_tables(model: ANSModel):
         freqs = c.freqs.astype(np.int64)
         cumul = np.zeros(n, np.int64)
         np.cumsum(freqs[:-1], out=cumul[1:])
-        k = 16 - c.log_m if c.log_m > 0 else 15
+        k = 16 - c.log_m
         row = np.zeros((n, 4), np.uint32)
         row[:, 0] = (freqs & 0xFFFF) | ((cumul & 0xFFFF) << 16)
-        row[:, 1] = ((1 << (k + B)) * freqs) & 0xFFFFFFFF
+        # renorm bound stored MINUS ONE so it fits u32 even for frame-1
+        # components (true bound (1<<(k+B))*freq <= 2^32 since
+        # freq <= frame; the encode step tests state > bound-1, exact
+        # for every case incl. the never-shrink bound == 2^32).
+        # freq == 0 rows are never encoded; keep bound-1 = 0.
+        bound = (1 << (k + B)) * freqs
+        row[:, 1] = np.maximum(bound - 1, 0) & 0xFFFFFFFF
         for s in range(n):
             M, sh = _magic(int(freqs[s]))
             row[s, 2] = M
@@ -212,11 +218,11 @@ def encode_blocks(params, tables: EncoderTables, tokens, tstart, tend,
         fc = erow[:, 0]
         freq = fc & MASK16
         cumul = fc >> np.uint32(16)
-        upper = erow[:, 1]
+        upper = erow[:, 1]        # renorm bound MINUS ONE (see build)
         M = erow[:, 2]
         sh = erow[:, 3]
 
-        need = active & (state >= upper)
+        need = active & (state > upper)
         w = state & MASK16
         for i in range(max_folds + 1):
             words[i] = jnp.where(need & (nemit == i), w, words[i])

@@ -236,7 +236,7 @@ def _encode_token(params, tabA, tabB, nrows: int, vslab_ref, cslab_ref,
     freq = fc & MASK16
     cumul = fc >> np.uint32(16)
 
-    need = active & (state >= upper)
+    need = active & (state > upper)   # upper = renorm bound MINUS ONE
     w = state & MASK16
     for i in range(max_folds + 1):
         words[i] = jnp.where(need & (nemit == i), w, words[i])
