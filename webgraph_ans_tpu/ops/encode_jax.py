@@ -387,18 +387,15 @@ def lane_encode_tokens(model: ANSModel, values: np.ndarray,
             blocks)
 
 
-# VMEM budget for the Pallas encode kernel's slabs (bytes); beyond this
-# the XLA while-loop kernel takes over (or use more encode blocks).
-PALLAS_ENC_SLAB_LIMIT = 13 << 20
-
-
 def encode_blocks_auto(params, tables: EncoderTables, tokens, tstart_d,
                        tend_d, cap: int, tstart=None, tend=None,
                        tab_np=None):
     """Runs the Pallas encode kernel (ops/encode_pallas.py) when the
-    backend supports it and the token slabs fit VMEM; the XLA while-loop
-    kernel otherwise. Same output contract (emit, states, final_states,
-    wtotals, ok), trimmed to the real lane count."""
+    backend supports it; the XLA while-loop kernel otherwise. Token
+    slabs larger than the per-chunk VMEM budget stream chunked through
+    the Pallas grid (encode_pallas.plan_token_slabs) — total token
+    volume is bounded by HBM. Same output contract (emit, states,
+    final_states, wtotals, ok), trimmed to the real lane count."""
     import os
 
     use = tab_np is not None and tstart is not None
@@ -411,16 +408,16 @@ def encode_blocks_auto(params, tables: EncoderTables, tokens, tstart_d,
     if use:
         from . import encode_pallas as ep
 
-        smax, gpad = ep.plan_token_slabs(tstart, tend)
-        if smax * gpad * 4 + (smax // 8) * gpad * 4 > PALLAS_ENC_SLAB_LIMIT:
-            use = False
+        smax, gpad, nch = ep.plan_token_slabs(tstart, tend)
+        if nch == 0:
+            use = False   # one fat lane exceeds even a 128-lane chunk
     if not use:
         return encode_blocks(params, tables, tokens, tstart_d, tend_d, cap)
     L = len(tstart)
     tabA, tabB, nrows = ep.build_pallas_enc_tables(tab_np)
     vslab, cslab = ep.build_token_slabs(tokens, tstart_d, tend_d, smax,
-                                        gpad)
-    init = jnp.asarray(ep.make_enc_init_regs(tstart, tend))
+                                        gpad, nch)
+    init = jnp.asarray(ep.make_enc_init_regs(tstart, tend, nch))
     emit, states, final_states, wtotals, ok = ep.encode_blocks_pallas(
         params, tabA, tabB, nrows, vslab, cslab, init, cap,
         interpret=env == "interpret")
