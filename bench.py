@@ -341,6 +341,10 @@ def bench_synth(run_device_bench):
         np.save(os.path.join(cache, "succs.npy"), adj.succs)
         np.save(os.path.join(cache, "offs.npy"),
                 adj.offsets.astype(np.int64))
+        from webgraph_ans_tpu.bvgraph.store import dump_tokens
+        tv, tc = dump_tokens(adj, 7, 3, 2, res.est_tables)
+        np.save(os.path.join(cache, "tok_vals.npy"), tv)
+        np.save(os.path.join(cache, "tok_comps.npy"), tc)
         log(f"synth compress: {time.time() - t0:.1f}s, "
             f"{os.path.getsize(base + '.ans') * 8 / adj.num_arcs:.3f} "
             "bits/link")
@@ -388,6 +392,18 @@ def bench_synth(run_device_bench):
         out["synth_e2e_ns_per_arc"] = round(r["ns_per_arc"], 2)
         log(f"synth TPU emit e2e: {r['sec_per_rep']*1e3:.1f} ms/rep = "
             f"{r['ns_per_arc']:.2f} ns/arc")
+    # chunked-slab encode at HBM scale, word-identity verified on
+    # device against the XLA kernel in warmup (VERDICT r04 item 5)
+    if os.path.exists(os.path.join(cache, "tok_vals.npy")):
+        r = run_device_bench(base, "encode", 5, L,
+                             {"WGT_BENCH_SRC": "",
+                              "WGT_BENCH_TOK_NPY": cache,
+                              "WGT_BENCH_ENC_VERIFY": "1"})
+        if r is not None:
+            out["synth_encode_tpu_ns_per_arc"] = round(
+                r["ns_per_arc"], 2)
+            log(f"synth TPU encode: {r['sec_per_rep']*1e3:.1f} ms/rep ="
+                f" {r['ns_per_arc']:.2f} ns/arc")
     if "synth_pallas_ns_per_arc" in out:
         out["synth_vs_baseline"] = round(
             cpu_ns / out["synth_pallas_ns_per_arc"], 3)

@@ -272,18 +272,65 @@ def main():
     elif mode == "encode":
         import pickle
 
-        from webgraph_ans_tpu.bvgraph.graph import load_bvgraph
-        from webgraph_ans_tpu.bvgraph.store import dump_tokens
-        from webgraph_ans_tpu.ops.encode_jax import (encode_blocks_auto,
+        from webgraph_ans_tpu.ops.encode_jax import (encode_blocks,
+                                                     encode_blocks_auto,
                                                      encode_plan)
-        adj, _ = load_bvgraph(os.environ["WGT_BENCH_SRC"])
-        with open(os.environ["WGT_BENCH_EST"], "rb") as f:
-            est_tables = pickle.load(f)
-        vals, comps = dump_tokens(adj, g.prelude.compression_window, 3,
-                                  g.prelude.min_interval_length, est_tables)
+        if os.environ.get("WGT_BENCH_TOK_NPY"):
+            # pre-dumped token stream (large synthetic fixtures without
+            # a .graph input); exercises the chunked-slab encode kernel
+            # at HBM scale
+            tdir = os.environ["WGT_BENCH_TOK_NPY"]
+            vals = np.load(os.path.join(tdir, "tok_vals.npy"))
+            comps = np.load(os.path.join(tdir, "tok_comps.npy"))
+        else:
+            from webgraph_ans_tpu.bvgraph.graph import load_bvgraph
+            from webgraph_ans_tpu.bvgraph.store import dump_tokens
+            adj, _ = load_bvgraph(os.environ["WGT_BENCH_SRC"])
+            with open(os.environ["WGT_BENCH_EST"], "rb") as f:
+                est_tables = pickle.load(f)
+            vals, comps = dump_tokens(adj, g.prelude.compression_window,
+                                      3, g.prelude.min_interval_length,
+                                      est_tables)
         eplan = encode_plan(g.prelude.model, vals, comps, num_blocks=L)
         (eparams, etables, tokens_d, tstart_d, tend_d, ecap, tstart, tend,
          _bn, tab_np) = eplan
+        if os.environ.get("WGT_BENCH_ENC_VERIFY") == "1":
+            # word-identity against the NATIVE serial encoder
+            # (reference semantics, native/src/ans.hpp) on a lane sample
+            # spanning every Pallas chunk: each sampled lane's emitted
+            # words are assembled from the fetched emit columns and must
+            # equal the native encode of the same reversed token range.
+            # (Full-lane word-identity vs the XLA kernel is covered at
+            # small scale by tests/test_pallas_kernels.py.)
+            from webgraph_ans_tpu.ans.codec import encode_raw
+            from webgraph_ans_tpu.ops.encode_jax import _emit_pairs
+
+            ep_, sp_, fp_, wp_, okp = encode_blocks_auto(
+                eparams, etables, tokens_d, tstart_d, tend_d, ecap,
+                tstart, tend, tab_np)
+            assert bool(np.asarray(okp).all()), "pallas encode overflow"
+            Lr = len(tstart)
+            sel = np.arange(0, Lr, max(1, Lr // 64))
+            EPv = _emit_pairs(eparams[9])
+            cols = np.asarray(ep_[:, jnp.asarray(sel.astype(np.int32))])
+            meta_s = cols[ecap * EPv:]
+            fps = np.asarray(fp_[jnp.asarray(sel.astype(np.int32))])
+            for j, l in enumerate(sel):
+                a, b = int(tstart[l]), int(tend[l])
+                steps = b - a
+                nem = (meta_s[:steps, j] & 0xFF).astype(np.int64)
+                words = []
+                for s in range(steps):
+                    for w in range(int(nem[s])):
+                        pair = cols[s * EPv + w // 2, j]
+                        words.append((pair >> (16 * (w & 1))) & 0xFFFF)
+                nat = encode_raw(g.prelude.model, vals[a:b][::-1],
+                                 comps[a:b][::-1])
+                assert np.array_equal(
+                    np.array(words, np.uint16), nat.stream), \
+                    f"lane {l}: stream words differ from native encode"
+                assert int(fps[j]) == int(nat.final_state), \
+                    f"lane {l}: final state differs"
         run = lambda: encode_blocks_auto(
             eparams, etables, tokens_d, tstart_d, tend_d, ecap, tstart,
             tend, tab_np)[3][:1]
