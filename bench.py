@@ -259,6 +259,13 @@ def main():
     if "xla" in results:
         payload["xla_kernel_ns_per_arc"] = round(
             results["xla"]["ns_per_arc"], 2)
+    # per-component compressed-size estimate (the reference's
+    # percomponent_analysis.py tables, README.md:122-131, as structured
+    # data; est_cost_bytes is the model's self-information cost of the
+    # component's symbol stream)
+    payload["per_component_bytes"] = {
+        r["component"]: round(r["est_cost_bytes"], 1)
+        for r in res_blk.report}
     payload.update(synth)
     payload.update(hc)
     print(json.dumps(payload))
