@@ -42,6 +42,13 @@ def _add_compress_args(p):
                         "O(--spill-chunk-tokens); serial encoder only)")
     p.add_argument("--spill-chunk-tokens", type=int, default=1 << 22,
                    help="tokens per in-RAM spill chunk (default 4M)")
+    p.add_argument("--safe-break", type=int, default=0, metavar="K",
+                   help="forbid references reaching past every K-th "
+                        "node (+ element-aware early breaks in dense "
+                        "regions): bounds copy chains so hc artifacts "
+                        "stay lane-splittable for the parallel decoder "
+                        "(~+1-2%% size; this framework's format "
+                        "extension, default off)")
     p.add_argument("--streaming", action="store_true",
                    help="never materialize the input adjacency: every "
                         "pass re-walks the mmap'd .graph through BvComp "
@@ -88,7 +95,8 @@ def main(argv=None):
                     phase_step=args.phase_step,
                     spill_path=args.spill_path,
                     spill_chunk_tokens=args.spill_chunk_tokens,
-                    streaming=args.streaming)
+                    streaming=args.streaming,
+                    safe_break_interval=args.safe_break)
         print(json.dumps({
             "seconds": round(time.time() - t0, 3),
             "nodes": res.prelude.num_nodes,

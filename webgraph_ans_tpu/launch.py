@@ -29,13 +29,27 @@ import time
 
 
 def _run(args) -> None:
-    import numpy as np
-
+    # distributed init MUST precede any package import: importing the
+    # package touches jax.numpy, which initializes the backends, and a
+    # late jax.distributed.initialize then silently leaves
+    # process_count() == 1 (every host would decode the whole graph)
     if args.num_processes > 1:
-        from .parallel.multihost import init_distributed
-        init_distributed(args.coordinator, args.num_processes,
-                         args.process_id)
+        import os
+
+        import jax
+        if os.environ.get("JAX_PLATFORMS"):
+            # the env var alone is not honored by the distributed CPU
+            # client on this jax build (process_count stays 1); setting
+            # the config explicitly before initialize is (the pattern
+            # tests/multihost_worker.py uses)
+            jax.config.update("jax_platforms",
+                              os.environ["JAX_PLATFORMS"])
+        jax.distributed.initialize(args.coordinator, args.num_processes,
+                                   args.process_id)
+        assert jax.process_count() == args.num_processes, \
+            "jax.distributed did not take effect (backends initialized early?)"
     import jax
+    import numpy as np
     from .bvgraph.random_access import ANSBvGraph
     from .parallel.multihost import MultihostGraphDecoder
 
