@@ -842,6 +842,10 @@ class TpuGraphDecoder:
         pl.update(init=init, slab=slab, lut=self._pallas_lut[0],
                   starts_np=rstarts, ends_np=ends,
                   cap=-(-est // UNROLL) * UNROLL)
+        import logging
+        logging.getLogger(__name__).info(
+            "emit plan: lanes=%d smaxp=%d T=%d nch=%d cap=%d",
+            len(rstarts), smaxp, T, nch, pl["cap"])
         return pl
 
     def _safe_boundaries(self) -> np.ndarray:
