@@ -118,6 +118,17 @@ def main():
             if not np.array_equal(got, ref[offs[x]:offs[x + 1]]):
                 raise SystemExit(f"emit NOT bit-exact at node {x}")
 
+        pl_emit = dec._plans.get(("emit", L), {})
+        print(json.dumps({"mode": "emit-plan",
+                          "T": pl_emit.get("T"),
+                          "cap": pl_emit.get("cap"),
+                          "nch": (int(pl_emit["init"].shape[0])
+                                  if pl_emit.get("init") is not None
+                                  else None),
+                          "broken": bool(pl_emit.get("emit_broken",
+                                                     False))}),
+              file=sys.stderr, flush=True)
+
         def run():
             # no slicing: the steady state must stay ONE fused dispatch
             s2d, st, dgs = dec.decode_to_adjacency_device(num_lanes=L)
