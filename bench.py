@@ -66,6 +66,10 @@ def run_device_bench(base, mode, reps, lanes, env=None, attempts=1):
                 capture_output=True, text=True, env=e, timeout=1800)
         except subprocess.TimeoutExpired:
             log(f"bench_device {mode} TIMED OUT (1800s)")
+            # a child killed mid-device-operation can leave the relay
+            # daemon with a stale session that wedges the NEXT process;
+            # give it time to reap before continuing
+            time.sleep(120)
             continue
         if out.returncode != 0:
             log(f"bench_device {mode} FAILED:\n{out.stderr[-2000:]}")
@@ -400,7 +404,7 @@ def bench_synth(run_device_bench):
         env = {"WGT_BENCH_CAP": str(planr["cap"]),
                "WGT_BENCH_CAP_AUX": str(planr["cap_aux"]),
                "WGT_BENCH_META": json.dumps(planr["meta"])}
-        r = run_device_bench(base, "pallas", 5, L, env)
+        r = run_device_bench(base, "pallas", 5, L, env, attempts=2)
         if r is not None:
             out["synth_pallas_ns_per_arc"] = round(r["ns_per_arc"], 2)
             log(f"synth TPU pallas: {r['sec_per_rep']*1e3:.1f} ms/rep = "
@@ -410,7 +414,8 @@ def bench_synth(run_device_bench):
     r = run_device_bench(base, "emit", 5, L,
                          {"WGT_BENCH_SRC": "",
                           "WGT_BENCH_REF_NPY":
-                              os.path.join(cache, "succs.npy")})
+                              os.path.join(cache, "succs.npy")},
+                         attempts=2)
     if r is not None:
         out["synth_e2e_ns_per_arc"] = round(r["ns_per_arc"], 2)
         log(f"synth TPU emit e2e: {r['sec_per_rep']*1e3:.1f} ms/rep = "
