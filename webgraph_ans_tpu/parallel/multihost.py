@@ -89,32 +89,28 @@ class MultihostGraphDecoder:
     def _closure_before(self, lo: int):
         """Token streams of the reference closure preceding the shard:
         nodes in [lo-window, lo) may be copied from by the shard, and they
-        may reference further back. Returns (sorted ids, {id: (vals,
-        comps)})."""
+        may reference further back. Decoded as CONTIGUOUS node ranges —
+        when a reference escapes the current range the range at least
+        doubles, so deep hc chains close in O(log span) lane-parallel
+        ranged decodes instead of one host round trip per chain level.
+        Returns (base, vals, comps): flat token streams of [base, lo)."""
         d = self.dec
-        from ..ops.random_tpu import TpuRandomAccess
-
-        ra = TpuRandomAccess(d)
-        need = list(range(max(lo - d.window, 0), lo))
-        done: dict[int, tuple[np.ndarray, np.ndarray]] = {}
-        guard = 0
-        while need:
-            arr = np.unique(np.array(need, dtype=np.int64))
-            vals2d, comps2d, counts = ra._decode_nodes(arr, 256)
-            nxt = []
-            for i, x in enumerate(arr):
-                v = vals2d[i, : counts[i]]
-                c = comps2d[i, : counts[i]]
-                done[int(x)] = (v, c)
-                if counts[i] >= 2 and c[1] == 1 and v[1] > 0:
-                    parent = int(x) - int(v[1])
-                    if parent not in done:
-                        nxt.append(parent)
-            need = [p for p in set(nxt) if p not in done]
-            guard += 1
-            if guard > 100000:
-                raise RuntimeError("shard closure did not converge")
-        return sorted(done), done
+        base = max(lo - max(d.window, 1), 0)
+        while True:
+            vals, comps = self._decode_range_tokens(base, lo)
+            vals_np = np.asarray(vals)
+            comps_np = np.asarray(comps)
+            # segment the flat stream: every node opens with an OUTDEGREE
+            # (component 0) token; REFERENCE_OFFSET (component 1) tokens
+            # with value > 0 copy from node_of - value
+            node_of = base + np.cumsum(comps_np == 0) - 1
+            m = (comps_np == 1) & (vals_np > 0)
+            if not m.any():
+                return base, vals_np, comps_np
+            min_parent = int((node_of[m] - vals_np[m]).min())
+            if min_parent >= base:
+                return base, vals_np, comps_np
+            base = max(min(min_parent, lo - 2 * (lo - base)), 0)
 
     def decode_shard(self):
         """Token-decodes and reconstructs the local node range. Returns
@@ -126,20 +122,15 @@ class MultihostGraphDecoder:
         if lo == 0:
             offsets, succs = reconstruct(vals, comps, hi - lo, d.min_interval)
             return lo, hi, offsets, succs
-        pre_ids, pre_tok = self._closure_before(lo)
-        ids = np.concatenate([np.array(pre_ids, np.int64),
-                              np.arange(lo, hi, dtype=np.int64)])
-        vals = np.concatenate([np.concatenate(
-            [pre_tok[i][0] for i in pre_ids]).astype(vals.dtype), vals]) \
-            if pre_ids else vals
-        comps = np.concatenate([np.concatenate(
-            [pre_tok[i][1] for i in pre_ids]).astype(comps.dtype), comps]) \
-            if pre_ids else comps
+        base, pre_vals, pre_comps = self._closure_before(lo)
+        ids = np.arange(base, hi, dtype=np.int64)
+        vals = np.concatenate([pre_vals.astype(vals.dtype), vals])
+        comps = np.concatenate([pre_comps.astype(comps.dtype), comps])
         offsets, succs = reconstruct(vals, comps, len(ids), d.min_interval,
                                      node_ids=ids)
-        first = len(pre_ids)
-        base = int(offsets[first])
-        return lo, hi, (offsets[first:] - base).astype(np.uint64), succs[base:]
+        first = lo - base
+        off0 = int(offsets[first])
+        return lo, hi, (offsets[first:] - off0).astype(np.uint64), succs[off0:]
 
     def total_arcs(self) -> int:
         """Cross-host reduction of per-shard arc counts (allgather when
